@@ -140,7 +140,13 @@ class MinRootVDF:
     def check(self, result: State, t: int, original: State) -> jnp.ndarray:
         """Verify by inverting: original == inverse_eval(result, t).
         Returns a boolean array over lanes."""
-        back = self.inverse_eval(result, t)
+        return self._check(self.inverse_eval(result, t), original)
+
+    def check_uncached(self, result: State, t: int, original: State) -> jnp.ndarray:
+        """Traceable form of check (for enclosing jit/pjit)."""
+        return self._check(self.inverse_eval_uncached(result, t), original)
+
+    def _check(self, back: State, original: State) -> jnp.ndarray:
         f = self.field
         return f.eq(back.x, original.x) & f.eq(back.y, original.y) & f.eq(
             back.i, original.i

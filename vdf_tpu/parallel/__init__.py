@@ -1,0 +1,19 @@
+from .mesh import (
+    LANES_AXIS,
+    SHARD_AXIS,
+    lane_sharding,
+    make_mesh,
+    shard_state,
+    sharded_check,
+    sharded_eval,
+)
+
+__all__ = [
+    "LANES_AXIS",
+    "SHARD_AXIS",
+    "lane_sharding",
+    "make_mesh",
+    "shard_state",
+    "sharded_check",
+    "sharded_eval",
+]

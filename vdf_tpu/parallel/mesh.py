@@ -1,0 +1,76 @@
+"""Device mesh + sharding helpers — the framework's communication layer.
+
+The reference has no distributed runtime (SURVEY.md §2.4); here the mesh
+is first-class.  Axes:
+
+  * ``lanes`` — data-parallel independent VDF chains (no steady-state
+    comms; pure DP).
+  * ``shard`` — tensor-parallel axis for proving math: MSM points /
+    buckets and R1CS constraint rows are partitioned over it and reduced
+    with ``psum`` collectives (ICI within a slice).
+
+On a single host these map onto all local devices; multi-host extends
+the same names over ``jax.distributed`` process meshes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..minroot.vdf import State
+
+LANES_AXIS = "lanes"
+SHARD_AXIS = "shard"
+
+
+def make_mesh(n_devices: int | None = None, axis: str = LANES_AXIS) -> Mesh:
+    """1-D mesh over the first n devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def lane_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (lane) axis of a limb array; limbs replicated."""
+    return NamedSharding(mesh, P(LANES_AXIS, None))
+
+
+def shard_state(state: State, mesh: Mesh) -> State:
+    s = lane_sharding(mesh)
+    return State(*(jax.device_put(a, s) for a in state))
+
+
+def sharded_eval(vdf, t: int, mesh: Mesh):
+    """Jitted lane-sharded eval: State(lanes, 17) -> State(lanes, 17).
+
+    Pure data parallelism: XLA partitions the batched scan over the lane
+    axis; zero collectives in steady state (SURVEY.md §2.4 DP row).
+    """
+    s = lane_sharding(mesh)
+    shardings = State(s, s, s)
+    return jax.jit(
+        lambda st: vdf.eval_uncached(st, t),
+        in_shardings=(shardings,),
+        out_shardings=shardings,
+    )
+
+
+def sharded_check(vdf, t: int, mesh: Mesh):
+    """Jitted sharded verify: returns the number of valid lanes (psum'd
+    into a replicated scalar) — exercises a real collective."""
+    s = lane_sharding(mesh)
+    shardings = State(s, s, s)
+
+    def check(result: State, original: State) -> jnp.ndarray:
+        ok = vdf.check_uncached(result, t, original)
+        return jnp.sum(ok.astype(jnp.int32))
+
+    return jax.jit(
+        check,
+        in_shardings=(shardings, shardings),
+        out_shardings=NamedSharding(mesh, P()),
+    )
