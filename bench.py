@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--lanes", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--mode", default="ltr_sequential")
+    ap.add_argument(
+        "--xla-path",
+        action="store_true",
+        help="bench the pure-XLA scan path instead of the fused Pallas kernel",
+    )
     args = ap.parse_args()
 
     import jax
@@ -37,8 +42,10 @@ def main():
 
     from vdf_tpu.minroot import EvalMode, State, pallas_vdf
 
-    lanes = args.lanes or (64 if args.smoke else 8192)
+    lanes = args.lanes or (64 if args.smoke else 16384)
     t = args.iters or (8 if args.smoke else 256)
+    on_tpu = not args.smoke and jax.devices()[0].platform == "tpu"
+    use_fused = on_tpu and not args.xla_path
 
     vdf = pallas_vdf(EvalMode(args.mode))
     f = vdf.field
@@ -50,11 +57,24 @@ def main():
 
     import functools
 
-    eval_fn = jax.jit(functools.partial(vdf.eval_uncached, t=t))
+    if use_fused:
+        from vdf_tpu.minroot.fused import eval_fused
 
-    # Warmup/compile.
+        eval_fn = functools.partial(eval_fused, vdf, t=t, block_sublanes=32)
+    else:
+        eval_fn = jax.jit(functools.partial(vdf.eval_uncached, t=t))
+
+    # Warmup/compile + correctness gate: never report timings for wrong
+    # math (backend numeric quirks must fail loudly, not skew numbers).
     r = eval_fn(s0)
     jax.block_until_ready(r.x)
+    check = f.decode(r.x[:2])
+    p, e = f.params.modulus, f.params.inv_alpha
+    for lane in range(2):
+        x, y, i = 3 + lane, 0, 0
+        for _ in range(t):
+            x, y, i = pow((x + y) % p, e, p), (x + i) % p, (i + 1) % p
+        assert check[lane] == x, f"bench correctness gate failed on lane {lane}"
 
     # Timed runs (chain segments end-to-end, like Evaluation.append use).
     n_rep = 2 if args.smoke else 4
@@ -81,6 +101,7 @@ def main():
             "iters_per_sec_per_lane": round(per_lane, 2),
             "wall_seconds": round(dt, 3),
             "mode": args.mode,
+            "path": "fused_pallas" if use_fused else "xla_scan",
             "backend": jax.devices()[0].platform,
             "baseline_note": "rust single-chain ~1e5 iters/s (estimate; reference publishes none)",
         },

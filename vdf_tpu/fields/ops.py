@@ -111,19 +111,32 @@ class Field:
         k_lo = (i_grid + j_grid).reshape(-1)  # lo half lands at limb i+j
         k_hi = (i_grid + j_grid + 1).reshape(-1)  # hi half at limb i+j+1
 
-        def scatter_mat(ks, out_len):
+        def scatter_mat(ks, out_len, coeff):
             m = np.zeros((ks.size, out_len), dtype=np.float32)
             valid = ks < out_len
-            m[np.arange(ks.size)[valid], ks[valid]] = 1.0
+            m[np.arange(ks.size)[valid], ks[valid]] = coeff
             return m
 
-        full = 2 * NLIMBS + 1
-        self._conv_full_mat = jnp.asarray(
-            np.concatenate([scatter_mat(k_lo, full), scatter_mat(k_hi, full)])
-        )
-        self._conv_trunc_mat = jnp.asarray(
-            np.concatenate([scatter_mat(k_lo, NLIMBS), scatter_mat(k_hi, NLIMBS)])
-        )
+        # One scatter plane per byte of the 32-bit outer products: bytes
+        # 0/1 land at limb i+j with weights 1/256, bytes 2/3 at limb
+        # i+j+1.  Weights stay <= 256 so a single-pass bf16 MXU matmul
+        # (bf16 operands, f32 accumulation) is exact: operands <= 255,
+        # accumulated dots < 2^24.
+        def conv_mat(out_len):
+            return jnp.asarray(
+                np.concatenate(
+                    [
+                        scatter_mat(k_lo, out_len, 1.0),
+                        scatter_mat(k_lo, out_len, 256.0),
+                        scatter_mat(k_hi, out_len, 1.0),
+                        scatter_mat(k_hi, out_len, 256.0),
+                    ]
+                ),
+                dtype=jnp.bfloat16,
+            )
+
+        self._conv_full_mat = conv_mat(2 * NLIMBS + 1)
+        self._conv_trunc_mat = conv_mat(NLIMBS)
         # Jit the public ops: compiled once per input shape, then cheap to
         # dispatch eagerly; inside an enclosing jit/scan they inline.
         for name in ("add", "sub", "mul", "sqr", "neg", "canon", "from_mont"):
@@ -176,22 +189,32 @@ class Field:
     def _conv(self, a: jnp.ndarray, b: jnp.ndarray, full: bool) -> jnp.ndarray:
         """Schoolbook limb convolution as ONE matmul (hits the MXU).
 
-        The flattened outer product of canonical limbs is split into 16-bit
-        lo/hi halves (each < 2^16, exact in float32) and scattered into
-        positional sums by a constant 0/1 matrix; each output position
-        accumulates at most 34 halves, so sums stay < 2^21 — exact in
-        float32's 24-bit mantissa.  ``full=False`` truncates to 17 limbs
-        (arithmetic mod R, used for the Montgomery m factor).
+        The flattened outer product of canonical limbs (exact 16x16-bit
+        products in uint32) is split into four byte planes — every operand
+        value <= 255, exactly representable in bf16 — and scattered into
+        positional sums by a constant matrix with entries {0, 1, 256}.
+        A single-pass bf16 MXU matmul with f32 accumulation is then exact
+        (dots stay < 2^24).  NB: feeding 16-bit halves through an f32
+        matmul instead silently truncates on TPU (default f32 matmul
+        precision is bf16) and Precision.HIGHEST costs a 6-pass rerun.
+        ``full=False`` truncates to 17 limbs (mod R, for the Montgomery
+        m factor).
         """
         outer = a[..., :, None] * b[..., None, :]  # exact 16x16-bit in uint32
         outer = outer.reshape(*outer.shape[:-2], NLIMBS * NLIMBS)
-        halves = jnp.concatenate(
-            [(outer & LIMB_MASK), (outer >> LIMB_BITS)], axis=-1
-        ).astype(jnp.float32)
+        planes = jnp.concatenate(
+            [
+                outer & 0xFF,
+                (outer >> 8) & 0xFF,
+                (outer >> 16) & 0xFF,
+                (outer >> 24) & 0xFF,
+            ],
+            axis=-1,
+        ).astype(jnp.bfloat16)
         mat = self._conv_full_mat if full else self._conv_trunc_mat
-        return jnp.matmul(halves, mat, preferred_element_type=jnp.float32).astype(
-            jnp.uint32
-        )
+        return jnp.matmul(
+            planes, mat, preferred_element_type=jnp.float32
+        ).astype(jnp.uint32)
 
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product a*b*R^-1 mod p; result < 2p, canonical limbs.

@@ -1,0 +1,75 @@
+"""Fused on-chip MinRoot evaluation (Pallas kernel front-end).
+
+Converts lane-batched State arrays from the pure-JAX representation
+(radix-16 limbs, Montgomery R=2^272, shape (lanes, 17)) into the kernel
+representation (radix-12, R=2^264, limb-major (22, S, 128)), runs the
+whole t-round evaluation in one Pallas call, and converts back.
+
+The domain switch costs one extra Montgomery multiply per state array in
+each direction — negligible against t rounds of 254-bit exponentiation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import Field, get_field, int_to_limbs
+from ..fields.pallas_field import (
+    NL12,
+    minroot_eval_tpu,
+    repack_12_to_16,
+    repack_16_to_12,
+)
+from .vdf import State
+
+
+@functools.cache
+def _domain_consts(field_name: str):
+    f = get_field(field_name)
+    p = f.params.modulus
+    # mont_mul(x*2^272, c) = x*c: pick c to land in / leave the 2^264 domain.
+    to_k = jnp.asarray(int_to_limbs((1 << 264) % p))
+    from_k = jnp.asarray(int_to_limbs((1 << (272 + 8)) % p))
+    return to_k, from_k
+
+
+def _to_kernel(f: Field, a: jnp.ndarray, lanes_padded: int) -> jnp.ndarray:
+    """(lanes, 17) jnp-domain -> (22, S, 128) kernel-domain."""
+    to_k, _ = _domain_consts(f.params.name)
+    a = f.mul(a, jnp.broadcast_to(to_k, a.shape))  # now x*2^264, canonical <2p
+    a12 = repack_16_to_12(a)
+    lanes = a12.shape[0]
+    if lanes_padded != lanes:
+        a12 = jnp.concatenate(
+            [a12, jnp.zeros((lanes_padded - lanes, NL12), jnp.int32)], axis=0
+        )
+    s = lanes_padded // 128
+    return a12.reshape(s, 128, NL12).transpose(2, 0, 1)
+
+
+def _from_kernel(f: Field, a12: jnp.ndarray, lanes: int) -> jnp.ndarray:
+    """(22, S, 128) kernel-domain -> (lanes, 17) jnp-domain."""
+    _, from_k = _domain_consts(f.params.name)
+    flat = a12.transpose(1, 2, 0).reshape(-1, NL12)[:lanes]
+    a16 = repack_12_to_16(flat)
+    return f.mul(a16, jnp.broadcast_to(from_k, a16.shape))
+
+
+def eval_fused(vdf, s: State, t: int, block_sublanes: int = 8, interpret: bool = False) -> State:
+    """Fused t-round MinRoot eval over (lanes, 17) state arrays.
+
+    Lanes are padded up to a multiple of 128*block_sublanes; pad lanes
+    compute garbage that is discarded on the way out.
+    """
+    f = vdf.field
+    lanes = s.x.shape[0]
+    blk = 128 * block_sublanes
+    lanes_padded = -(-lanes // blk) * blk
+    kx, ky, ki = (_to_kernel(f, a, lanes_padded) for a in (s.x, s.y, s.i))
+    fn = minroot_eval_tpu(f.params.name, t, block_sublanes, interpret)
+    ox, oy, oi = fn(kx, ky, ki)
+    return State(*(_from_kernel(f, a, lanes) for a in (ox, oy, oi)))
