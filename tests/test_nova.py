@@ -1,0 +1,93 @@
+"""End-to-end Nova folding tests (mirrors test_nova_proof,
+/root/reference/src/nova/proof.rs:403-451: t=5 iters/step, n=3 steps)."""
+
+import numpy as np
+import pytest
+
+from vdf_tpu.fields import FQ
+from vdf_tpu.minroot import pallas_vdf
+from vdf_tpu.nova import (
+    NovaVDFProof,
+    eval_and_make_circuits,
+    public_params,
+)
+from vdf_tpu.utils import TEST_SEED, XorShiftRng, field_random
+
+
+@pytest.fixture(scope="module")
+def proven():
+    """One proven instance shared across checks (proving is the slow part)."""
+    t, n = 3, 3
+    vdf = pallas_vdf()
+    rng = XorShiftRng(TEST_SEED)
+    x = field_random(rng, FQ.modulus)
+    s0 = vdf.state_from_ints(x, 0, 1)  # initial i = 1 like the reference test
+    zi = [s0.x, s0.y, s0.i]
+
+    pp = public_params(t)
+    z0, circuits = eval_and_make_circuits(vdf, t, n, s0)
+    proof = NovaVDFProof.prove_recursively(pp, circuits, z0)
+    return pp, proof, z0, zi, t, n, vdf
+
+
+class TestNovaProof:
+    def test_proof_verifies(self, proven):
+        pp, proof, z0, zi, t, n, vdf = proven
+        assert proof.verify(pp, n, z0, zi)
+
+    def test_wrong_num_steps_rejected(self, proven):
+        pp, proof, z0, zi, t, n, _ = proven
+        assert not proof.verify(pp, n + 1, z0, zi)
+
+    def test_wrong_zi_rejected(self, proven):
+        pp, proof, z0, zi, t, n, vdf = proven
+        bad = vdf.state_from_ints(123, 0, 1)
+        assert not proof.verify(pp, n, z0, [bad.x, bad.y, bad.i])
+
+    def test_wrong_z0_rejected(self, proven):
+        pp, proof, z0, zi, t, n, vdf = proven
+        bad = vdf.state_from_ints(321, 0, 1)
+        assert not proof.verify(pp, n, [bad.x, bad.y, bad.i], zi)
+
+    def test_tampered_final_witness_rejected(self, proven):
+        import dataclasses
+        import jax.numpy as jnp
+
+        pp, proof, z0, zi, t, n, _ = proven
+        f = pp.field
+        snark = proof.snark
+        w_bad = snark.W.w.at[0].set(f.encode(999))
+        from vdf_tpu.nova import RecursiveSNARK, RelaxedWitness
+
+        tampered = NovaVDFProof(
+            RecursiveSNARK(
+                snark.step_instances, snark.U, RelaxedWitness(w_bad, snark.W.e)
+            ),
+            proof.comm_ts,
+        )
+        assert not tampered.verify(pp, n, z0, zi)
+
+    def test_tampered_instance_rejected(self, proven):
+        pp, proof, z0, zi, t, n, _ = proven
+        from vdf_tpu.nova import R1CSInstance, RecursiveSNARK
+
+        snark = proof.snark
+        inst = snark.step_instances
+        # swap a commitment between steps — transcript must catch it
+        bad_list = list(inst)
+        bad_list[0] = R1CSInstance(inst[1].comm_w, inst[0].x)
+        tampered = NovaVDFProof(
+            RecursiveSNARK(bad_list, snark.U, snark.W), proof.comm_ts
+        )
+        assert not tampered.verify(pp, n, z0, zi)
+
+
+class TestFoldingInternals:
+    def test_cross_term_zero_for_identical_satisfied(self):
+        """Folding a satisfied instance into the zero relaxed instance
+        keeps E consistent (E' = r*T must satisfy the relaxed relation)."""
+        # covered implicitly by test_proof_verifies; here check shape sizes
+        pp = public_params(2)
+        s = pp.dev_shape.shape
+        assert s.num_cons == 3 * 2 + 1 + 3
+        assert s.num_aux == 4 * 2 + 1

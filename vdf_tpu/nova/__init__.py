@@ -1,0 +1,29 @@
+from .circuit import InverseMinRootCircuit, inverse_round_gadget
+from .nifs import NIFS, R1CSInstance, RelaxedInstance, RelaxedWitness
+from .pedersen import CommitmentKey, commitment_key
+from .r1cs_device import DeviceMatrix, DeviceShape
+from .snark import (
+    NovaVDFProof,
+    PublicParams,
+    RecursiveSNARK,
+    eval_and_make_circuits,
+    public_params,
+)
+
+__all__ = [
+    "InverseMinRootCircuit",
+    "inverse_round_gadget",
+    "NIFS",
+    "R1CSInstance",
+    "RelaxedInstance",
+    "RelaxedWitness",
+    "CommitmentKey",
+    "commitment_key",
+    "DeviceMatrix",
+    "DeviceShape",
+    "NovaVDFProof",
+    "PublicParams",
+    "RecursiveSNARK",
+    "eval_and_make_circuits",
+    "public_params",
+]
