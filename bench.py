@@ -4,11 +4,11 @@ Flagship metric (round 1): aggregate MinRoot iterations/sec across
 lane-batched VDF evaluation on the available accelerator (the driver
 runs this on one real TPU chip).
 
-vs_baseline compares against the Rust reference evaluating its single
-sequential chain on a high-end CPU core: the reference publishes no
-numbers (BASELINE.md), so we use a documented estimate of ~1e5
-iterations/sec (254-square addition chain at ~40ns/field-mul on the
-suggested Threadripper 3970x, /root/reference/src/minroot.rs:49-50).
+vs_baseline compares against the reference's workload — one sequential
+chain on a CPU core — measured LIVE with this repo's native C++
+evaluator (vdf_tpu/native, the same 4x64 Montgomery arithmetic a Rust
+build uses; the reference publishes no numbers, BASELINE.md).  Falls
+back to a documented 1e5 iters/s estimate if the native build fails.
 The reference cannot batch lanes; aggregate throughput is the honest
 apples-to-apples capability comparison (BASELINE.json config 4).
 """
@@ -19,7 +19,67 @@ import argparse
 import json
 import time
 
-RUST_SINGLE_CHAIN_ITERS_PER_SEC = 1.0e5  # documented estimate, see above
+RUST_SINGLE_CHAIN_ITERS_PER_SEC = 1.0e5  # fallback estimate
+
+
+def measure_native_baseline() -> tuple[float, str]:
+    try:
+        from vdf_tpu.native import minroot_eval_native
+
+        minroot_eval_native("Fq", 7, 0, 0, 200)  # warm/build
+        t0 = time.perf_counter()
+        n = 20000
+        minroot_eval_native("Fq", 7, 0, 0, n)
+        dt = time.perf_counter() - t0
+        return n / dt, "native C++ single-chain, measured"
+    except Exception as exc:  # build/toolchain failure: fall back
+        return RUST_SINGLE_CHAIN_ITERS_PER_SEC, f"estimate (native failed: {exc})"
+
+
+def bench_folding(args):
+    """Nova folding steps/sec (BASELINE config 2/3): witness synthesis +
+    Pedersen commit + NIFS fold per step, via the jitted step function."""
+    import jax
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from vdf_tpu.minroot import pallas_vdf
+    from vdf_tpu.nova import NovaVDFProof, eval_and_make_circuits, public_params
+
+    t = args.iters or (2 if args.smoke else 64)
+    n = 3 if args.smoke else 8
+
+    vdf = pallas_vdf()
+    s0 = vdf.state_from_ints(987654321, 0, 1)
+    pp = public_params(t)
+    z0, circuits = eval_and_make_circuits(vdf, t, n, s0)
+
+    # Warm (compiles the step executable).
+    proof = NovaVDFProof.prove_recursively(pp, circuits[:1], z0)
+    t0 = time.perf_counter()
+    proof = NovaVDFProof.prove_recursively(pp, circuits, z0)
+    dt = time.perf_counter() - t0
+    assert proof.verify(pp, n, z0, [s0.x, s0.y, s0.i]), "folding bench proof invalid"
+
+    steps_per_sec = n / dt
+    result = {
+        "metric": "nova_folding_steps_per_sec",
+        "value": round(steps_per_sec, 3),
+        "unit": "folds/s",
+        "vs_baseline": None,
+        "detail": {
+            "t_iters_per_step": t,
+            "num_steps": n,
+            "constraints_per_step": pp.dev_shape.shape.num_cons,
+            "wall_seconds": round(dt, 2),
+            "verified": True,
+            "backend": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(result))
 
 
 def main():
@@ -33,7 +93,15 @@ def main():
         action="store_true",
         help="bench the pure-XLA scan path instead of the fused Pallas kernel",
     )
+    ap.add_argument(
+        "--folding",
+        action="store_true",
+        help="bench Nova folding steps/sec instead of raw VDF throughput",
+    )
     args = ap.parse_args()
+
+    if args.folding:
+        return bench_folding(args)
 
     import jax
 
@@ -88,12 +156,13 @@ def main():
     total_iters = lanes * t * n_rep
     iters_per_sec = total_iters / dt
     per_lane = iters_per_sec / lanes
+    baseline, baseline_src = measure_native_baseline()
 
     result = {
         "metric": "minroot_aggregate_iters_per_sec",
         "value": round(iters_per_sec, 1),
         "unit": "vdf_iters/s",
-        "vs_baseline": round(iters_per_sec / RUST_SINGLE_CHAIN_ITERS_PER_SEC, 3),
+        "vs_baseline": round(iters_per_sec / baseline, 3),
         "detail": {
             "lanes": lanes,
             "t_per_segment": t,
@@ -103,7 +172,8 @@ def main():
             "mode": args.mode,
             "path": "fused_pallas" if use_fused else "xla_scan",
             "backend": jax.devices()[0].platform,
-            "baseline_note": "rust single-chain ~1e5 iters/s (estimate; reference publishes none)",
+            "baseline_iters_per_sec": round(baseline, 1),
+            "baseline_note": baseline_src,
         },
     }
     print(json.dumps(result))

@@ -14,6 +14,26 @@ os.environ["XLA_FLAGS"] = (
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import subprocess
+
+# The jitted prover/verifier pieces create many mmap'd executables; the
+# default vm.max_map_count (65530) is too low and LLVM then fails with
+# spurious "Cannot allocate memory".  Raise it when we can (best effort).
+try:
+    with open("/proc/sys/vm/max_map_count") as fh:
+        if int(fh.read()) < 1 << 20:
+            subprocess.run(
+                ["sysctl", "-w", "vm.max_map_count=4194304"],
+                capture_output=True,
+                check=False,
+            )
+except OSError:
+    pass
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the jitted prover/verifier graphs are large;
+# caching them across test processes keeps the suite fast after first run.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -17,7 +17,7 @@ from vdf_tpu.utils import TEST_SEED, XorShiftRng, field_random
 @pytest.fixture(scope="module")
 def proven():
     """One proven instance shared across checks (proving is the slow part)."""
-    t, n = 3, 3
+    t, n = 2, 3
     vdf = pallas_vdf()
     rng = XorShiftRng(TEST_SEED)
     x = field_random(rng, FQ.modulus)
@@ -91,3 +91,16 @@ class TestFoldingInternals:
         s = pp.dev_shape.shape
         assert s.num_cons == 3 * 2 + 1 + 3
         assert s.num_aux == 4 * 2 + 1
+
+
+class TestCompressedProof:
+    def test_compress_verify_and_reject(self, proven):
+        import dataclasses
+
+        pp, proof, z0, zi, t, n, vdf = proven
+        comp = proof.compress(pp)
+        assert comp.verify(pp, n, z0, zi)
+        bad = dataclasses.replace(
+            comp, spartan=comp.spartan._replace(vW=pp.field.encode(1))
+        )
+        assert not bad.verify(pp, n, z0, zi)

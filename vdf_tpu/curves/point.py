@@ -172,7 +172,14 @@ class Curve:
 
     def scalar_mul_bits(self, p: Point, bits: jnp.ndarray) -> Point:
         """Batched double-and-add over little-endian bit array (n_bits, ...).
-        Constant sequence of complete adds — no data-dependent branching."""
+        Constant sequence of complete adds — no data-dependent branching.
+        Dispatches through a shape-keyed cached jit (eager callers reuse
+        one executable; inside jit it inlines)."""
+        return _scalar_mul_jit(
+            self.params.name, tuple(p.x.shape), tuple(bits.shape)
+        )(p, bits)
+
+    def _scalar_mul_bits_traced(self, p: Point, bits: jnp.ndarray) -> Point:
         def body(carry, bit):
             acc, base = carry
             added = self.add(acc, base)
@@ -187,6 +194,12 @@ class Curve:
 @functools.cache
 def get_curve(name: str) -> Curve:
     return Curve({"pallas": PALLAS, "vesta": VESTA}[name])
+
+
+@functools.lru_cache(maxsize=None)
+def _scalar_mul_jit(curve_name: str, p_shape: tuple, bits_shape: tuple):
+    curve = get_curve(curve_name)
+    return jax.jit(curve._scalar_mul_bits_traced)
 
 
 # ---------------------------------------------------------------------

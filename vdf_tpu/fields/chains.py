@@ -231,7 +231,31 @@ def _digits_msb(e: int, window: int) -> list[int]:
     return [int(bits[k : k + window], 2) for k in range(0, len(bits), window)]
 
 
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=None)
+def _pow_scan_jit(field_name: str, e: int, window: int, shape: tuple):
+    """Shape-keyed jitted wrapper: eager callers would otherwise
+    recompile the scan on every call (fresh body closure each time)."""
+    import jax
+
+    from .ops import get_field
+
+    f = get_field(field_name)
+    return jax.jit(lambda x: _pow_fixed_scan_traced(f, x, e, window))
+
+
 def pow_fixed_scan(field, x, e: int, window: int = 4):
+    """x^e as a uniform windowed LTR scan — see _pow_fixed_scan_traced.
+
+    Dispatches through a cached jit so repeated eager calls reuse one
+    executable; under an enclosing jit the wrapper simply inlines.
+    """
+    return _pow_scan_jit(field.params.name, e, window, tuple(x.shape))(x)
+
+
+def _pow_fixed_scan_traced(field, x, e: int, window: int = 4):
     """x^e as a *uniform* windowed LTR scan (compact XLA graph).
 
     The chain programs from the generators above unroll ~300 ops — ideal
@@ -263,7 +287,22 @@ def pow_fixed_scan(field, x, e: int, window: int = 4):
     return acc
 
 
+@_ft.lru_cache(maxsize=None)
+def _pow_scan_rtl_jit(field_name: str, e: int, shape: tuple):
+    import jax
+
+    from .ops import get_field
+
+    f = get_field(field_name)
+    return jax.jit(lambda x: _pow_fixed_scan_rtl_traced(f, x, e))
+
+
 def pow_fixed_scan_rtl(field, x, e: int):
+    """Cached-jit eager entry for the RTL scan form."""
+    return _pow_scan_rtl_jit(field.params.name, e, tuple(x.shape))(x)
+
+
+def _pow_fixed_scan_rtl_traced(field, x, e: int):
     """x^e as a uniform RTL binary scan (square both; select multiply)."""
     import jax
     import jax.numpy as jnp

@@ -99,7 +99,7 @@ class Field:
         self.sub_pad = jnp.asarray(params.sub_pad_limbs)  # 8p - 2^256 + 1
         # comp17(p * 2^k) + 1 for conditional subtraction, k = 0..7.
         comp = []
-        for k in range(8):
+        for k in range(16):
             pk = params.modulus << k
             comp.append(int_to_limbs((1 << MONT_BITS) - pk))  # 2^272 - pk
         self._condsub_comp = jnp.asarray(np.stack(comp))
@@ -159,7 +159,8 @@ class Field:
         return jnp.where(borrow_free[..., None], w[..., :NLIMBS], v)
 
     def partial_reduce(self, v: jnp.ndarray, k_max: int = 7) -> jnp.ndarray:
-        """Reduce canonical v < 2^(254+k_max+1) to < p by conditional subtracts."""
+        """Reduce canonical v < 2*p*2^k_max to < p by conditional subtracts
+        (k_max <= 15)."""
         for k in range(k_max, -1, -1):
             v = self._cond_sub_pk(v, k)
         return v
@@ -280,10 +281,15 @@ class Field:
     # ------------------------------------------------------------------
 
     def inv(self, a: jnp.ndarray) -> jnp.ndarray:
-        """a^(p-2): multiplicative inverse (0 maps to 0)."""
-        from .chains import pow_fixed
+        """a^(p-2): multiplicative inverse (0 maps to 0).
 
-        return pow_fixed(self, a, self.params.modulus - 2, mode="ltr_add_chain")
+        Uses the compact scan form: inversion appears inside large jitted
+        regions (point normalization, IPA folds), where an unrolled
+        300-op chain would bloat every enclosing graph.
+        """
+        from .chains import pow_fixed_scan
+
+        return pow_fixed_scan(self, a, self.params.modulus - 2, window=4)
 
 
 @functools.cache

@@ -1,0 +1,450 @@
+// Native (host CPU) Pasta field/curve/MSM/VDF kernels.
+//
+// Plays the role of the reference's single native component, pasta-msm
+// (supranational Pippenger under Rust bindings, SURVEY.md §2 D5), plus a
+// reference-grade scalar MinRoot evaluator used to measure an honest
+// CPU baseline for bench comparisons (the Rust reference's own workload,
+// /root/reference/benches/vdf.rs).
+//
+// Field arithmetic: 4x64-bit Montgomery (R = 2^256) with __int128
+// products — the classic CIOS ladder.  Constants are generated into
+// pasta_constants.h by the Python build shim from the same primes the
+// JAX side uses (single source of truth).
+//
+// Exposed via a C ABI for ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "pasta_constants.h"
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+
+namespace {
+
+struct FieldCtx {
+  const u64* p;     // modulus, 4 limbs LE
+  u64 pinv;         // -p^{-1} mod 2^64
+  const u64* r2;    // R^2 mod p
+  const u64* one;   // R mod p (Montgomery one)
+};
+
+static const FieldCtx FP_CTX = {FP_MOD, FP_PINV, FP_R2, FP_ONE};
+static const FieldCtx FQ_CTX = {FQ_MOD, FQ_PINV, FQ_R2, FQ_ONE};
+
+struct Fe {
+  u64 v[4];
+};
+
+static inline bool ge_p(const Fe& a, const u64* p) {
+  for (int i = 3; i >= 0; --i) {
+    if (a.v[i] > p[i]) return true;
+    if (a.v[i] < p[i]) return false;
+  }
+  return true;  // equal
+}
+
+static inline void sub_p(Fe& a, const u64* p) {
+  u128 borrow = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 d = (u128)a.v[i] - p[i] - (u64)borrow;
+    a.v[i] = (u64)d;
+    borrow = (d >> 64) ? 1 : 0;
+  }
+}
+
+static inline void fe_add(const FieldCtx& f, const Fe& a, const Fe& b, Fe& out) {
+  u128 carry = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 s = (u128)a.v[i] + b.v[i] + (u64)carry;
+    out.v[i] = (u64)s;
+    carry = s >> 64;
+  }
+  if (carry || ge_p(out, f.p)) sub_p(out, f.p);
+}
+
+static inline void fe_sub(const FieldCtx& f, const Fe& a, const Fe& b, Fe& out) {
+  u128 borrow = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 d = (u128)a.v[i] - b.v[i] - (u64)borrow;
+    out.v[i] = (u64)d;
+    borrow = (d >> 64) ? 1 : 0;
+  }
+  if (borrow) {  // add p back
+    u128 carry = 0;
+    for (int i = 0; i < 4; ++i) {
+      u128 s = (u128)out.v[i] + f.p[i] + (u64)carry;
+      out.v[i] = (u64)s;
+      carry = s >> 64;
+    }
+  }
+}
+
+// Montgomery multiplication (CIOS).
+static inline void fe_mul(const FieldCtx& f, const Fe& a, const Fe& b, Fe& out) {
+  u64 t[6] = {0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 4; ++i) {
+    u128 carry = 0;
+    for (int j = 0; j < 4; ++j) {
+      u128 s = (u128)a.v[j] * b.v[i] + t[j] + (u64)carry;
+      t[j] = (u64)s;
+      carry = s >> 64;
+    }
+    u128 s = (u128)t[4] + (u64)carry;
+    t[4] = (u64)s;
+    t[5] = (u64)(s >> 64);
+
+    u64 m = t[0] * f.pinv;
+    carry = 0;
+    u128 s0 = (u128)m * f.p[0] + t[0];
+    carry = s0 >> 64;
+    for (int j = 1; j < 4; ++j) {
+      u128 sj = (u128)m * f.p[j] + t[j] + (u64)carry;
+      t[j - 1] = (u64)sj;
+      carry = sj >> 64;
+    }
+    u128 s4 = (u128)t[4] + (u64)carry;
+    t[3] = (u64)s4;
+    t[4] = t[5] + (u64)(s4 >> 64);
+    t[5] = 0;
+  }
+  Fe r = {{t[0], t[1], t[2], t[3]}};
+  if (t[4] || ge_p(r, f.p)) sub_p(r, f.p);
+  out = r;
+}
+
+static inline void fe_sqr(const FieldCtx& f, const Fe& a, Fe& out) {
+  fe_mul(f, a, a, out);
+}
+
+static inline void to_mont(const FieldCtx& f, const Fe& a, Fe& out) {
+  Fe r2;
+  std::memcpy(r2.v, f.r2, 32);
+  fe_mul(f, a, r2, out);
+}
+
+static inline void from_mont(const FieldCtx& f, const Fe& a, Fe& out) {
+  Fe one = {{1, 0, 0, 0}};
+  fe_mul(f, a, one, out);
+}
+
+static inline bool fe_is_zero(const Fe& a) {
+  return !(a.v[0] | a.v[1] | a.v[2] | a.v[3]);
+}
+
+// Windowed fixed-exponent power (w = 4), exponent canonical LE limbs.
+static void fe_pow(const FieldCtx& f, const Fe& base, const u64* e, Fe& out) {
+  Fe table[16];
+  std::memcpy(table[0].v, f.one, 32);
+  table[1] = base;
+  for (int k = 2; k < 16; ++k) fe_mul(f, table[k - 1], base, table[k]);
+  Fe acc;
+  std::memcpy(acc.v, f.one, 32);
+  bool started = false;
+  for (int limb = 3; limb >= 0; --limb) {
+    for (int nib = 15; nib >= 0; --nib) {
+      int d = (e[limb] >> (nib * 4)) & 0xF;
+      if (started) {
+        fe_sqr(f, acc, acc);
+        fe_sqr(f, acc, acc);
+        fe_sqr(f, acc, acc);
+        fe_sqr(f, acc, acc);
+        if (d) fe_mul(f, acc, table[d], acc);
+      } else if (d) {
+        acc = table[d];
+        started = true;
+      }
+    }
+  }
+  out = acc;
+}
+
+// ------------------------------------------------------------------
+// MinRoot VDF (forward = inverse 5th root; inverse = x^5)
+// ------------------------------------------------------------------
+
+static void minroot_eval(const FieldCtx& f, const u64* inv_alpha, Fe& x, Fe& y,
+                         Fe& i, u64 t, const u64* one_plain_mont) {
+  Fe one;
+  std::memcpy(one.v, one_plain_mont, 32);
+  for (u64 k = 0; k < t; ++k) {
+    Fe sum, nx;
+    fe_add(f, x, y, sum);
+    fe_pow(f, sum, inv_alpha, nx);
+    Fe ny;
+    fe_add(f, x, i, ny);
+    fe_add(f, i, one, i);
+    x = nx;
+    y = ny;
+  }
+}
+
+static void minroot_inverse(const FieldCtx& f, Fe& x, Fe& y, Fe& i, u64 t,
+                            const u64* one_plain_mont) {
+  Fe one;
+  std::memcpy(one.v, one_plain_mont, 32);
+  for (u64 k = 0; k < t; ++k) {
+    Fe ni, nx, x2, x4, x5, ny;
+    fe_sub(f, i, one, ni);
+    fe_sub(f, y, ni, nx);
+    fe_sqr(f, x, x2);
+    fe_sqr(f, x2, x4);
+    fe_mul(f, x4, x, x5);
+    fe_sub(f, x5, nx, ny);
+    x = nx;
+    y = ny;
+    i = ni;
+  }
+}
+
+// ------------------------------------------------------------------
+// Curve (Jacobian; host code may branch freely)
+// ------------------------------------------------------------------
+
+struct Pt {  // Jacobian (X, Y, Z); identity: Z == 0
+  Fe x, y, z;
+};
+
+static void pt_identity(const FieldCtx& f, Pt& p) {
+  std::memset(&p, 0, sizeof(Pt));
+  std::memcpy(p.x.v, f.one, 32);
+  std::memcpy(p.y.v, f.one, 32);
+}
+
+static void pt_double(const FieldCtx& f, const Pt& p, Pt& out) {
+  if (fe_is_zero(p.z)) {
+    out = p;
+    return;
+  }
+  Fe a, b, c, d, e, g, x3, y3, z3, t;
+  fe_sqr(f, p.x, a);            // A = X^2
+  fe_sqr(f, p.y, b);            // B = Y^2
+  fe_sqr(f, b, c);              // C = B^2
+  fe_add(f, p.x, b, d);         // (X+B)
+  fe_sqr(f, d, d);
+  fe_sub(f, d, a, d);
+  fe_sub(f, d, c, d);
+  fe_add(f, d, d, d);           // D = 2((X+B)^2 - A - C)
+  fe_add(f, a, a, e);
+  fe_add(f, e, a, e);           // E = 3A
+  fe_sqr(f, e, g);              // G = E^2
+  fe_sub(f, g, d, x3);
+  fe_sub(f, x3, d, x3);         // X3 = G - 2D
+  fe_sub(f, d, x3, t);
+  fe_mul(f, e, t, y3);
+  fe_add(f, c, c, c);
+  fe_add(f, c, c, c);
+  fe_add(f, c, c, c);           // 8C
+  fe_sub(f, y3, c, y3);         // Y3 = E(D - X3) - 8C
+  fe_mul(f, p.y, p.z, z3);
+  fe_add(f, z3, z3, z3);        // Z3 = 2YZ
+  out.x = x3;
+  out.y = y3;
+  out.z = z3;
+}
+
+static void pt_add(const FieldCtx& f, const Pt& p, const Pt& q, Pt& out) {
+  if (fe_is_zero(p.z)) {
+    out = q;
+    return;
+  }
+  if (fe_is_zero(q.z)) {
+    out = p;
+    return;
+  }
+  Fe z1z1, z2z2, u1, u2, s1, s2;
+  fe_sqr(f, p.z, z1z1);
+  fe_sqr(f, q.z, z2z2);
+  fe_mul(f, p.x, z2z2, u1);
+  fe_mul(f, q.x, z1z1, u2);
+  Fe t;
+  fe_mul(f, q.z, z2z2, t);
+  fe_mul(f, p.y, t, s1);
+  fe_mul(f, p.z, z1z1, t);
+  fe_mul(f, q.y, t, s2);
+  Fe h, r;
+  fe_sub(f, u2, u1, h);
+  fe_sub(f, s2, s1, r);
+  if (fe_is_zero(h)) {
+    if (fe_is_zero(r)) {
+      pt_double(f, p, out);
+      return;
+    }
+    pt_identity(f, out);
+    return;
+  }
+  Fe hh, hhh, v, x3, y3, z3;
+  fe_sqr(f, h, hh);
+  fe_mul(f, h, hh, hhh);
+  fe_mul(f, u1, hh, v);
+  fe_sqr(f, r, x3);
+  fe_sub(f, x3, hhh, x3);
+  fe_sub(f, x3, v, x3);
+  fe_sub(f, x3, v, x3);         // X3 = r^2 - H^3 - 2V
+  fe_sub(f, v, x3, t);
+  fe_mul(f, r, t, y3);
+  fe_mul(f, s1, hhh, t);
+  fe_sub(f, y3, t, y3);         // Y3 = r(V - X3) - S1*H^3
+  fe_mul(f, p.z, q.z, z3);
+  fe_mul(f, z3, h, z3);         // Z3 = Z1*Z2*H
+  out.x = x3;
+  out.y = y3;
+  out.z = z3;
+}
+
+// Mixed add: q affine in Montgomery form (z == 1 implicit).
+static void pt_add_affine(const FieldCtx& f, const Pt& p, const Fe& qx,
+                          const Fe& qy, Pt& out) {
+  if (fe_is_zero(p.z)) {
+    out.x = qx;
+    out.y = qy;
+    std::memcpy(out.z.v, f.one, 32);
+    return;
+  }
+  Fe z1z1, u2, s2;
+  fe_sqr(f, p.z, z1z1);
+  fe_mul(f, qx, z1z1, u2);
+  Fe t;
+  fe_mul(f, p.z, z1z1, t);
+  fe_mul(f, qy, t, s2);
+  Fe h, r;
+  fe_sub(f, u2, p.x, h);
+  fe_sub(f, s2, p.y, r);
+  if (fe_is_zero(h)) {
+    if (fe_is_zero(r)) {
+      pt_double(f, p, out);
+      return;
+    }
+    pt_identity(f, out);
+    return;
+  }
+  Fe hh, hhh, v, x3, y3, z3;
+  fe_sqr(f, h, hh);
+  fe_mul(f, h, hh, hhh);
+  fe_mul(f, p.x, hh, v);
+  fe_sqr(f, r, x3);
+  fe_sub(f, x3, hhh, x3);
+  fe_sub(f, x3, v, x3);
+  fe_sub(f, x3, v, x3);
+  fe_sub(f, v, x3, t);
+  fe_mul(f, r, t, y3);
+  fe_mul(f, p.y, hhh, t);
+  fe_sub(f, y3, t, y3);
+  fe_mul(f, p.z, h, z3);
+  out.x = x3;
+  out.y = y3;
+  out.z = z3;
+}
+
+// ------------------------------------------------------------------
+// Pippenger MSM
+// ------------------------------------------------------------------
+
+static void msm_run(const FieldCtx& base, const u64* points /*n*8 canonical*/,
+                    const u64* scalars /*n*4 canonical*/, u64 n,
+                    u64* out /*12: projective canonical*/) {
+  int c = 4;
+  if (n >= 32) c = 8;
+  if (n >= (1u << 14)) c = 12;
+  int n_windows = (255 + c - 1) / c;
+  int n_buckets = (1 << c) - 1;
+
+  // Convert points to Montgomery affine once.
+  std::vector<Fe> px(n), py(n);
+  for (u64 i = 0; i < n; ++i) {
+    Fe x = {{points[i * 8 + 0], points[i * 8 + 1], points[i * 8 + 2],
+             points[i * 8 + 3]}};
+    Fe y = {{points[i * 8 + 4], points[i * 8 + 5], points[i * 8 + 6],
+             points[i * 8 + 7]}};
+    to_mont(base, x, px[i]);
+    to_mont(base, y, py[i]);
+  }
+
+  Pt total;
+  pt_identity(base, total);
+  std::vector<Pt> buckets(n_buckets);
+
+  for (int w = n_windows - 1; w >= 0; --w) {
+    for (int k = 0; k < c; ++k) pt_double(base, total, total);
+    for (int b = 0; b < n_buckets; ++b) pt_identity(base, buckets[b]);
+    for (u64 i = 0; i < n; ++i) {
+      int bit = w * c;
+      int limb = bit / 64, off = bit % 64;
+      u64 d = scalars[i * 4 + limb] >> off;
+      if (off + c > 64 && limb < 3) d |= scalars[i * 4 + limb + 1] << (64 - off);
+      d &= (u64)n_buckets;  // low c bits (mask 2^c - 1)
+      if (d) pt_add_affine(base, buckets[d - 1], px[i], py[i], buckets[d - 1]);
+    }
+    // suffix-sum: total += sum_d d * bucket[d]
+    Pt running, acc;
+    pt_identity(base, running);
+    pt_identity(base, acc);
+    for (int b = n_buckets - 1; b >= 0; --b) {
+      pt_add(base, running, buckets[b], running);
+      pt_add(base, acc, running, acc);
+    }
+    pt_add(base, total, acc, total);
+  }
+
+  // Output canonical projective (convert out of Montgomery).
+  Fe ox, oy, oz;
+  from_mont(base, total.x, ox);
+  from_mont(base, total.y, oy);
+  from_mont(base, total.z, oz);
+  std::memcpy(out + 0, ox.v, 32);
+  std::memcpy(out + 4, oy.v, 32);
+  std::memcpy(out + 8, oz.v, 32);
+}
+
+}  // namespace
+
+extern "C" {
+
+// mode: 0 = Fp, 1 = Fq.  state: 12 u64 canonical [x, y, i]; in place.
+void minroot_eval_native(int fq, u64* state, u64 t) {
+  const FieldCtx& f = fq ? FQ_CTX : FP_CTX;
+  const u64* ia = fq ? FQ_INVALPHA : FP_INVALPHA;
+  Fe x = {{state[0], state[1], state[2], state[3]}};
+  Fe y = {{state[4], state[5], state[6], state[7]}};
+  Fe i = {{state[8], state[9], state[10], state[11]}};
+  to_mont(f, x, x);
+  to_mont(f, y, y);
+  to_mont(f, i, i);
+  minroot_eval(f, ia, x, y, i, t, f.one);
+  from_mont(f, x, x);
+  from_mont(f, y, y);
+  from_mont(f, i, i);
+  std::memcpy(state + 0, x.v, 32);
+  std::memcpy(state + 4, y.v, 32);
+  std::memcpy(state + 8, i.v, 32);
+}
+
+void minroot_inverse_native(int fq, u64* state, u64 t) {
+  const FieldCtx& f = fq ? FQ_CTX : FP_CTX;
+  Fe x = {{state[0], state[1], state[2], state[3]}};
+  Fe y = {{state[4], state[5], state[6], state[7]}};
+  Fe i = {{state[8], state[9], state[10], state[11]}};
+  to_mont(f, x, x);
+  to_mont(f, y, y);
+  to_mont(f, i, i);
+  minroot_inverse(f, x, y, i, t, f.one);
+  from_mont(f, x, x);
+  from_mont(f, y, y);
+  from_mont(f, i, i);
+  std::memcpy(state + 0, x.v, 32);
+  std::memcpy(state + 4, y.v, 32);
+  std::memcpy(state + 8, i.v, 32);
+}
+
+// curve: 0 = pallas (base Fp), 1 = vesta (base Fq).
+// points: n * 8 u64 canonical affine; scalars: n * 4 u64 canonical.
+// out: 12 u64 canonical projective.
+void msm_native(int curve, const u64* points, const u64* scalars, u64 n,
+                u64* out) {
+  const FieldCtx& base = curve ? FQ_CTX : FP_CTX;
+  msm_run(base, points, scalars, n, out);
+}
+
+}  // extern "C"

@@ -24,14 +24,17 @@ from .pedersen import CommitmentKey
 from .r1cs_device import DeviceShape
 
 
-@dataclasses.dataclass
-class R1CSInstance:
+from typing import NamedTuple
+
+
+class R1CSInstance(NamedTuple):
+    """Plain R1CS instance; a pytree (jit-friendly)."""
+
     comm_w: Point
     x: jnp.ndarray  # (n_io, 17)
 
 
-@dataclasses.dataclass
-class RelaxedInstance:
+class RelaxedInstance(NamedTuple):
     comm_w: Point
     comm_e: Point
     x: jnp.ndarray
@@ -45,8 +48,7 @@ class RelaxedInstance:
         )
 
 
-@dataclasses.dataclass
-class RelaxedWitness:
+class RelaxedWitness(NamedTuple):
     w: jnp.ndarray  # (n_aux, 17)
     e: jnp.ndarray  # (num_cons, 17)
 
@@ -77,7 +79,7 @@ def absorb_point(tr: Transcript, field: Field, curve: Curve, p: Point) -> None:
         hi = jnp.concatenate([canon[..., 8:], jnp.zeros((8,), jnp.uint32)], axis=-1)
         return lo, hi
 
-    flag = jnp.where(is_id, 1, 0).astype(jnp.uint32)
+    flag = jnp.where(is_id, 1, 0).astype(jnp.uint32).reshape(())
     flag_limbs = jnp.zeros((NLIMBS,), jnp.uint32).at[0].set(flag)
     for limbs in (*chunks(ax), *chunks(ay), flag_limbs):
         # canonical (< 2^144 <= p) integer limbs are valid field elements;
@@ -144,8 +146,11 @@ class NIFS:
         rb = jnp.broadcast_to(r_mont, U1.x.shape)
         x = f.partial_reduce(f.add(U1.x, f.mul(rb, u2.x)), k_max=2)
         u = f.partial_reduce(f.add(U1.u, r_mont), k_max=2)
-        comm_w = c.add(U1.comm_w, self._point_mul(u2.comm_w, r_bits))
-        comm_e = c.add(U1.comm_e, self._point_mul(comm_t, r_bits))
+        # One batched scalar-mul covers both r-scaled points (same r).
+        both = Point(*(jnp.stack([a, b]) for a, b in zip(u2.comm_w, comm_t)))
+        scaled = c.scalar_mul_bits(both, jnp.broadcast_to(r_bits[:, None], (r_bits.shape[0], 2)))
+        comm_w = c.add(U1.comm_w, Point(*(v[0] for v in scaled)))
+        comm_e = c.add(U1.comm_e, Point(*(v[1] for v in scaled)))
         return RelaxedInstance(comm_w, comm_e, x, u), r_mont
 
     def prove(

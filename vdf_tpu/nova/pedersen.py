@@ -31,7 +31,7 @@ class CommitmentKey:
         gens = Point(*(v[:n] for v in self.gens))
         out = msm(self.curve, gens, values)
         if blind is not None:
-            hb = msm(self.curve, self.h, blind[None])
+            hb = msm(self.curve, Point(*(v[None] for v in self.h)), blind[None])
             out = self.curve.add(
                 Point(*(v[None] for v in out)), Point(*(v[None] for v in hb))
             )
@@ -44,5 +44,5 @@ def commitment_key(curve_name: str, n: int, label: bytes = b"vdf_tpu/ck") -> Com
     curve = get_curve(curve_name)
     pts = hash_to_curve_ints(curve_name, n + 1, domain=label)
     gens = curve.from_affine_ints(pts[:n])
-    h = curve.from_affine_ints(pts[n:])
-    return CommitmentKey(curve, gens, Point(*(v for v in h)))
+    h = Point(*(v[0] for v in curve.from_affine_ints(pts[n:])))  # single point
+    return CommitmentKey(curve, gens, h)

@@ -60,16 +60,18 @@ class DeviceShape:
         """z = (W, u, X) per Nova's layout."""
         return jnp.concatenate([w, u[None], x], axis=0)
 
-    def check_relaxed(self, field: Field, w, e, x, u) -> bool:
-        """Az ∘ Bz == u·Cz + E (exact device check, host bool out)."""
+    def check_relaxed_dev(self, field: Field, w, e, x, u) -> jnp.ndarray:
+        """Az ∘ Bz == u·Cz + E — traceable, returns a device bool."""
         z = self.z_vector(field, w, x, u)
         az = self.a.matvec(field, z)
         bz = self.b.matvec(field, z)
         cz = self.c.matvec(field, z)
         lhs = field.mul(az, bz)
         rhs = field.add(field.mul(jnp.broadcast_to(u, cz.shape), cz), e)
-        ok = field.eq(lhs, rhs)
-        return bool(np.all(jax.device_get(ok)))
+        return jnp.all(field.eq(lhs, rhs))
+
+    def check_relaxed(self, field: Field, w, e, x, u) -> bool:
+        return bool(jax.device_get(self.check_relaxed_dev(field, w, e, x, u)))
 
     def cross_term(self, field: Field, z1, u1, z2, u2) -> jnp.ndarray:
         """NIFS cross term:

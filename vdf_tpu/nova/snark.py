@@ -19,6 +19,7 @@ of the final witness check are the staged next layers.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import hashlib
 
 import jax
@@ -43,11 +44,77 @@ class PublicParams:
     dev_shape: DeviceShape
     digest: jnp.ndarray  # transcript domain separator (field element)
 
-    @property
+    @functools.cached_property
     def nifs(self) -> NIFS:
+        # Generators cover the next power of two so IPA openings over
+        # zero-padded vectors commit to the identical points.
         n = max(self.dev_shape.shape.num_aux, self.dev_shape.shape.num_cons)
+        n = 1 << (n - 1).bit_length()
         ck = commitment_key(self.curve_name, n)
         return NIFS(self.field, get_curve(self.curve_name), self.dev_shape, ck)
+
+    @functools.cached_property
+    def prove_step_fn(self):
+        """Jitted per-step prover: witness synthesis + commit + fold.
+
+        One compiled executable reused for every fold — essential both
+        for TPU (no per-op dispatch) and for CPU (bounded jit arena).
+        """
+        from ..r1cs.gadgets import AllocatedNum
+        from ..r1cs.witness import WitnessCS
+
+        nifs = self.nifs
+        f = self.field
+        circ = InverseMinRootCircuit(self.t)
+
+        def step(tr_state, U, W, z_in):
+            tr = Transcript.from_state(f.params.name, tr_state)
+            cs = WitnessCS(f, inputs=list(z_in), check=False)
+            z_alloc = [
+                AllocatedNum(v, val)
+                for v, val in zip(InverseMinRootCircuit._input_vars(), z_in)
+            ]
+            outs = circ.synthesize(cs, z_alloc)
+            w_vec = cs.witness()
+            x_vec = jnp.stack(list(z_in) + [o.value for o in outs])
+            comm_w = nifs.ck.commit(w_vec)
+            u2 = R1CSInstance(comm_w, x_vec)
+            U2, W2, comm_t = nifs.prove(tr, U, W, u2, w_vec)
+            return tr.export_state(), U2, W2, u2, comm_t
+
+        return jax.jit(step)
+
+    @functools.cached_property
+    def verify_fold_fn(self):
+        """Jitted per-step verifier fold (transcript replay)."""
+        nifs = self.nifs
+        f = self.field
+
+        def vstep(tr_state, U, u2, comm_t):
+            tr = Transcript.from_state(f.params.name, tr_state)
+            U2, _ = nifs.fold_instance(tr, U, u2, comm_t)
+            return tr.export_state(), U2
+
+        return jax.jit(vstep)
+
+    @functools.cached_property
+    def final_check_fn(self):
+        """Jitted final relaxed-satisfaction + opening check."""
+        nifs = self.nifs
+        f = self.field
+        c = nifs.curve
+
+        def final(U, W):
+            ok = self.dev_shape.check_relaxed_dev(f, W.w, W.e, U.x, U.u)
+            ok &= jnp.all(c.eq(nifs.ck.commit(W.w), U.comm_w))
+            ok &= jnp.all(c.eq(nifs.ck.commit(W.e), U.comm_e))
+            return ok
+
+        return jax.jit(final)
+
+    # Spartan prove/verify orchestrate cached jitted *pieces* (per
+    # sumcheck round / IPA round) rather than one monolithic jit: the
+    # whole-protocol graph is too large for a single XLA compile.
 
 
 def _shape_digest(field: Field, shape) -> jnp.ndarray:
@@ -98,6 +165,20 @@ def eval_and_make_circuits(
     return z0, circuits
 
 
+def _replay_folds(pp: "PublicParams", instances: list, comm_ts: list) -> RelaxedInstance:
+    """Verifier-side transcript replay over all folds (jitted per step)."""
+    f = pp.field
+    tr = Transcript(f.params.name)
+    tr.absorb(pp.digest)
+    tr.flush()
+    tr_state = tr.export_state()
+    U = RelaxedInstance.default(pp.nifs.curve, f, pp.dev_shape.shape.num_inputs)
+    vstep = pp.verify_fold_fn
+    for u2, comm_t in zip(instances, comm_ts):
+        tr_state, U = vstep(tr_state, U, u2, comm_t)
+    return U
+
+
 @dataclasses.dataclass
 class RecursiveSNARK:
     """Folded proof: per-step instances + final relaxed accumulator."""
@@ -120,20 +201,18 @@ class NovaVDFProof:
         nifs = pp.nifs
         tr = Transcript(f.params.name)
         tr.absorb(pp.digest)
+        tr.flush()  # uniform exported structure for every step
+        tr_state = tr.export_state()
         n_io = pp.dev_shape.shape.num_inputs
         U = RelaxedInstance.default(nifs.curve, f, n_io)
         W = RelaxedWitness.default(
             f, pp.dev_shape.shape.num_aux, pp.dev_shape.shape.num_cons
         )
+        step = pp.prove_step_fn
         instances, comm_ts = [], []
         for circ in circuits:
-            z_in = [circ.result.x, circ.result.y, circ.result.i]
-            cs, outs = circ.witness(f, z_in)
-            w_vec = cs.witness()
-            x_vec = jnp.stack(z_in + outs)
-            comm_w = nifs.ck.commit(w_vec)
-            u2 = R1CSInstance(comm_w, x_vec)
-            U, W, comm_t = nifs.prove(tr, U, W, u2, w_vec)
+            z_in = (circ.result.x, circ.result.y, circ.result.i)
+            tr_state, U, W, u2, comm_t = step(tr_state, U, W, z_in)
             instances.append(u2)
             comm_ts.append(comm_t)
         return cls(RecursiveSNARK(instances, U, W), comm_ts)
@@ -167,14 +246,8 @@ class NovaVDFProof:
         if not eq_state([last[3], last[4], last[5]], zi):
             return False
 
-        # 2. transcript replay + instance-side refold.
-        tr = Transcript(f.params.name)
-        tr.absorb(pp.digest)
-        n_io = pp.dev_shape.shape.num_inputs
-        U = RelaxedInstance.default(nifs.curve, f, n_io)
-        for u2, comm_t in zip(snark.step_instances, self.comm_ts):
-            U, _ = nifs.fold_instance(tr, U, u2, comm_t)
-
+        # 2. transcript replay + instance-side refold (jitted per step).
+        U = _replay_folds(pp, snark.step_instances, self.comm_ts)
         c = nifs.curve
         same = (
             bool(np.all(jax.device_get(c.eq(U.comm_w, snark.U.comm_w))))
@@ -185,11 +258,72 @@ class NovaVDFProof:
         if not same:
             return False
 
-        # 3. final relaxed satisfaction + openings.
-        if not pp.dev_shape.check_relaxed(f, snark.W.w, snark.W.e, U.x, U.u):
+        # 3. final relaxed satisfaction + openings (one jitted check).
+        return bool(jax.device_get(pp.final_check_fn(U, snark.W)))
+
+    def compress(self, pp: PublicParams) -> "CompressedVDFProof":
+        """Replace the final witness transmission with a Spartan SNARK
+        (reference compress, proof.rs:360-368)."""
+        from ..spartan.snark import spartan_prove
+
+        f = pp.field
+        tr = Transcript(f.params.name)
+        tr.absorb(pp.digest)
+        tr.flush()
+        sp = spartan_prove(pp, self.snark.U, self.snark.W, tr)
+        return CompressedVDFProof(
+            self.snark.step_instances, self.comm_ts, self.snark.U, sp
+        )
+
+
+@dataclasses.dataclass
+class CompressedVDFProof:
+    """Folded instances + Spartan argument for the final accumulator —
+    the final (W, E) vectors are no longer transmitted."""
+
+    step_instances: list
+    comm_ts: list
+    U: RelaxedInstance
+    spartan: object
+
+    def verify(self, pp: PublicParams, num_steps: int, z0: list, zi: list) -> bool:
+        f = pp.field
+        nifs = pp.nifs
+
+        if len(self.step_instances) != num_steps or num_steps == 0:
             return False
-        if not bool(np.all(jax.device_get(c.eq(nifs.ck.commit(snark.W.w), U.comm_w)))):
+
+        def eq_state(a, b) -> bool:
+            return bool(
+                np.all(jax.device_get(f.eq(jnp.stack(list(a)), jnp.stack(list(b)))))
+            )
+
+        first = self.step_instances[0].x
+        if not eq_state([first[0], first[1], first[2]], z0):
             return False
-        if not bool(np.all(jax.device_get(c.eq(nifs.ck.commit(snark.W.e), U.comm_e)))):
+        for k in range(num_steps - 1):
+            xk = self.step_instances[k].x
+            xn = self.step_instances[k + 1].x
+            if not eq_state([xk[3], xk[4], xk[5]], [xn[0], xn[1], xn[2]]):
+                return False
+        last = self.step_instances[-1].x
+        if not eq_state([last[3], last[4], last[5]], zi):
             return False
-        return True
+
+        U = _replay_folds(pp, self.step_instances, self.comm_ts)
+        c = nifs.curve
+        same = (
+            bool(np.all(jax.device_get(c.eq(U.comm_w, self.U.comm_w))))
+            and bool(np.all(jax.device_get(c.eq(U.comm_e, self.U.comm_e))))
+            and bool(np.all(jax.device_get(f.eq(U.x, self.U.x))))
+            and bool(np.all(jax.device_get(f.eq(U.u, self.U.u))))
+        )
+        if not same:
+            return False
+
+        from ..spartan.snark import spartan_verify
+
+        tr2 = Transcript(f.params.name)
+        tr2.absorb(pp.digest)
+        tr2.flush()
+        return bool(jax.device_get(spartan_verify(pp, U, self.spartan, tr2)))

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,7 +19,13 @@ from .params import ALPHA, FULL_ROUNDS, generate_constants, partial_rounds
 
 
 class Poseidon:
-    """Poseidon-128 permutation over one Pasta field, fixed width."""
+    """Poseidon-128 permutation over one Pasta field, fixed width.
+
+    Compiled as three ``lax.scan``s over rounds (full/partial/full) with
+    the round constants as scanned inputs, so the permutation costs a
+    few hundred HLO ops regardless of round count — critical because
+    transcripts appear inside large jitted prover/verifier graphs.
+    """
 
     def __init__(self, field: Field, width: int):
         assert width >= 2
@@ -26,49 +33,77 @@ class Poseidon:
         self.width = width
         self.r_p = partial_rounds(width)
         rc, mds = generate_constants(field.params.name, width)
-        enc = lambda v: field.encode(int(v))
-        self.rc = [enc(c) for c in rc]  # Montgomery-encoded constants
-        self.mds = [[enc(mds[i][j]) for j in range(width)] for i in range(width)]
+        n_rounds = FULL_ROUNDS + self.r_p
+        self.rc = field.encode(list(rc)).reshape(n_rounds, width, -1)
+        # mds[i][j] stacked as (w, w, 17) Montgomery constants.
+        self.mds = field.encode(
+            [mds[i][j] for i in range(width) for j in range(width)]
+        ).reshape(width, width, -1)
 
     def _sbox(self, x: jnp.ndarray) -> jnp.ndarray:
         f = self.field
         return f.mul(f.sqr(f.sqr(x)), x)  # x^5
 
-    def _mds_mul(self, state: list) -> list:
+    def _mds_mul(self, state: jnp.ndarray) -> jnp.ndarray:
+        """state: (w, ..., 17) -> (w, ..., 17): one batched field mul plus
+        a lazy limb sum per output row."""
         f = self.field
-        out = []
-        for i in range(self.width):
-            acc = f.mul(state[0], jnp.broadcast_to(self.mds[i][0], state[0].shape))
-            for j in range(1, self.width):
-                acc = f.add(
-                    acc, f.mul(state[j], jnp.broadcast_to(self.mds[i][j], state[j].shape))
-                )
-            # Keep magnitudes bounded for downstream muls.
-            out.append(f.partial_reduce(acc, k_max=5))
-        return out
+        w = self.width
+        batch = state.shape[1:-1]
+        mds = self.mds.reshape(self.mds.shape[:2] + (1,) * len(batch) + (-1,))
+        prods = f.mul(jnp.broadcast_to(state[None], (w,) + state.shape), mds)
+        acc = jnp.sum(prods.astype(jnp.uint32), axis=1)  # (w, ..., 17)
+        from ..fields.ops import resolve
+        from ..fields import NLIMBS
+
+        return f.partial_reduce(resolve(acc, NLIMBS), k_max=8)
+
+    def permute_array(self, state: jnp.ndarray) -> jnp.ndarray:
+        """state: (w, ..., 17) -> same; shape-keyed cached jit so eager
+        transcript traffic reuses one executable."""
+        return _permute_jit(self.field.params.name, self.width, tuple(state.shape))(
+            state
+        )
+
+    def _permute_array_traced(self, state: jnp.ndarray) -> jnp.ndarray:
+        f = self.field
+        w = self.width
+        assert state.shape[0] == w
+        half = FULL_ROUNDS // 2
+        rc = self.rc
+        if state.ndim > 2:  # broadcast rc over batch dims
+            rc = rc.reshape(rc.shape[:2] + (1,) * (state.ndim - 2) + (rc.shape[-1],))
+
+        def full_round(s, rc_row):
+            s = f.partial_reduce(f.add(s, jnp.broadcast_to(rc_row, s.shape)), k_max=2)
+            return self._mds_mul(self._sbox(s)), None
+
+        def partial_round(s, rc_row):
+            s = f.partial_reduce(f.add(s, jnp.broadcast_to(rc_row, s.shape)), k_max=2)
+            s0 = self._sbox(s[0:1])
+            s = jnp.concatenate([s0, s[1:]], axis=0)
+            return self._mds_mul(s), None
+
+        state, _ = jax.lax.scan(full_round, state, rc[:half])
+        state, _ = jax.lax.scan(partial_round, state, rc[half : half + self.r_p])
+        state, _ = jax.lax.scan(full_round, state, rc[half + self.r_p :])
+        return state
 
     def permute(self, state: list) -> list:
-        """Full permutation: R_F/2 full, R_P partial, R_F/2 full rounds."""
-        f = self.field
-        assert len(state) == self.width
-        rc_iter = iter(self.rc)
-        add_rc = lambda s: [
-            f.add(x, jnp.broadcast_to(next(rc_iter), x.shape)) for x in s
-        ]
-        half = FULL_ROUNDS // 2
-        for _ in range(half):
-            state = self._mds_mul([self._sbox(x) for x in add_rc(state)])
-        for _ in range(self.r_p):
-            state = add_rc(state)
-            state = self._mds_mul([self._sbox(state[0])] + state[1:])
-        for _ in range(half):
-            state = self._mds_mul([self._sbox(x) for x in add_rc(state)])
-        return state
+        """List-of-arrays facade over permute_array."""
+        out = self.permute_array(jnp.stack(state))
+        return [out[k] for k in range(self.width)]
 
 
 @functools.lru_cache(maxsize=64)
 def get_poseidon(field_name: str, width: int) -> Poseidon:
     return Poseidon(get_field(field_name), width)
+
+
+@functools.lru_cache(maxsize=None)
+def _permute_jit(field_name: str, width: int, shape: tuple):
+    pos = get_poseidon(field_name, width)
+    return jax.jit(pos._permute_array_traced)
 
 
 def hash_fixed(field_name: str, inputs: list) -> jnp.ndarray:
@@ -95,12 +130,37 @@ class Transcript:
 
     def __init__(self, field_name: str, width: int = 5):
         self.pos = get_poseidon(field_name, width)
+        self.field_name = field_name
         self.rate = width - 1
         self.buf: list = []
         self.state = None
 
+    # -- explicit state (for carrying a transcript across jit boundaries) --
+
+    def export_state(self):
+        """(state tuple, buffered tuple) of arrays — a jit-able pytree.
+        Call only at protocol points (any time is fine; buffers ride along)."""
+        return (
+            tuple(self.state) if self.state is not None else (),
+            tuple(self.buf),
+        )
+
+    @classmethod
+    def from_state(cls, field_name: str, exported, width: int = 5) -> "Transcript":
+        tr = cls(field_name, width)
+        state, buf = exported
+        tr.state = list(state) if state else None
+        tr.buf = list(buf)
+        return tr
+
     def absorb(self, *elements: jnp.ndarray) -> None:
         self.buf.extend(elements)
+
+    def flush(self) -> None:
+        """Absorb any buffered elements into the state now.  Keeps the
+        exported pytree structure uniform across jit boundaries."""
+        if self.buf or self.state is None:
+            self._flush()
 
     def _flush(self) -> None:
         f = self.pos.field
