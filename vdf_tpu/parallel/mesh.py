@@ -59,6 +59,39 @@ def sharded_eval(vdf, t: int, mesh: Mesh):
     )
 
 
+def sharded_matvec(field, dev_mat, z: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Row-sharded sparse matvec: COO entries partition over the mesh,
+    each device segment-sums its slice, partial row sums reduce with
+    psum over ICI (SURVEY.md §2.4 TP row; the Nova prover's matvec
+    sharding).  z is replicated (it is small next to the matrices)."""
+    from jax.experimental.shard_map import shard_map
+    from ..fields import NLIMBS
+    from ..fields.ops import resolve
+
+    n_dev = mesh.devices.size
+    nnz = dev_mat.rows.shape[0]
+    pad = (-nnz) % n_dev
+    rows = jnp.pad(dev_mat.rows, (0, pad))
+    cols = jnp.pad(dev_mat.cols, (0, pad))
+    # Padded entries multiply by zero so they contribute nothing.
+    vals = jnp.pad(dev_mat.vals, ((0, pad), (0, 0)))
+    num_rows = dev_mat.num_rows
+
+    def local(rows_s, cols_s, vals_s, z_rep):
+        prods = field.mul(vals_s, z_rep[cols_s])
+        acc = jax.ops.segment_sum(prods, rows_s, num_segments=num_rows)
+        return jax.lax.psum(acc, SHARD_AXIS)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS, None), P(None, None)),
+        out_specs=P(None, None),
+    )
+    acc = fn(rows, cols, vals, z)
+    return field.partial_reduce(resolve(acc, NLIMBS), k_max=15)
+
+
 def sharded_check(vdf, t: int, mesh: Mesh):
     """Jitted sharded verify: returns the number of valid lanes (psum'd
     into a replicated scalar) — exercises a real collective."""
