@@ -59,8 +59,10 @@ def bench_folding(args):
 
     # Warm (compiles the step executable).
     proof = NovaVDFProof.prove_recursively(pp, circuits[:1], z0)
+    jax.block_until_ready((proof.snark.U, proof.snark.W))
     t0 = time.perf_counter()
     proof = NovaVDFProof.prove_recursively(pp, circuits, z0)
+    jax.block_until_ready((proof.snark.U, proof.snark.W))
     dt = time.perf_counter() - t0
     assert proof.verify(pp, n, z0, [s0.x, s0.y, s0.i]), "folding bench proof invalid"
 

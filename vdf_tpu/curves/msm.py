@@ -62,26 +62,53 @@ def _tree_sum(curve: Curve, p: Point) -> Point:
     return Point(*(v[0] for v in p))
 
 
+def _tree_sum_axis1(curve: Curve, p: Point) -> Point:
+    """Reduce (B, N) points over axis 1 by pairwise adds -> (B,) points.
+    Each level is one wide batched add — the TPU-friendly shape."""
+    n = p.x.shape[1]
+    while n > 1:
+        half = n // 2
+        a = Point(*(v[:, 0 : 2 * half : 2] for v in p))
+        b = Point(*(v[:, 1 : 2 * half : 2] for v in p))
+        s = curve.add(a, b)
+        if n % 2:
+            s = Point(
+                *(jnp.concatenate([v, w[:, -1:]], axis=1) for v, w in zip(s, p))
+            )
+        p = s
+        n = p.x.shape[1]
+    return Point(*(v[:, 0] for v in p))
+
+
 def msm_traceable(curve: Curve, points: Point, scalars_mont: jnp.ndarray) -> Point:
-    """Σ s_i · P_i (traceable form; see ``msm`` for the jitted entry)."""
+    """Σ s_i · P_i (traceable form; see ``msm`` for the jitted entry).
+
+    Shape strategy: select every scalar bit-plane up front (n_bits, N),
+    tree-reduce the point axis with the bit-plane axis batched (log2(N)
+    wide adds instead of n_bits sequential trees), then combine the
+    n_bits partials with a short Horner doubling chain.
+    """
     n_bits = curve.scalar.params.modulus.bit_length()
     bits = _scalar_bits(curve, scalars_mont, n_bits)  # (bits, N)
     points = _pad_pow2(curve, points)
     nbatch = points.x.shape[0]
     bits = jnp.pad(bits, ((0, 0), (0, nbatch - bits.shape[1])))
-    ident = curve.identity((nbatch,))
+    ident = curve.identity((n_bits, nbatch))
+    planes = Point(*(jnp.broadcast_to(v[None], (n_bits, *v.shape)) for v in points))
+    selected = curve.select(bits.astype(bool), planes, ident)
 
-    def body(acc, bit_plane):
-        selected = curve.select(bit_plane.astype(bool), points, ident)
-        partial = _tree_sum(curve, selected)
+    partials = _tree_sum_axis1(curve, selected)  # (n_bits,) points, LSB first
+
+    def body(acc, q):
         acc = curve.double(acc)
-        acc = curve.add(acc, Point(*(v[None] for v in partial)))
+        acc = curve.add(acc, q)
         return acc, None
 
-    # MSB-first double-and-add over bit planes.
-    acc0 = curve.identity((1,))
-    acc, _ = jax.lax.scan(body, acc0, bits[::-1])
-    return Point(*(v[0] for v in acc))
+    acc0 = curve.identity(())
+    acc, _ = jax.lax.scan(
+        body, acc0, Point(*(v[::-1] for v in partials))
+    )
+    return acc
 
 
 @functools.lru_cache(maxsize=8)

@@ -35,6 +35,16 @@ class Evaluation:
         z0 = [result.x, result.y, result.i]
         return z0, cls(result, t, vdf.field.params.name, vdf.mode.value)
 
+    @classmethod
+    def eval_with_mode(
+        cls, mode: "EvalMode", vdf: MinRootVDF, x: State, t: int
+    ) -> "Evaluation":
+        """Reference ``eval_with_mode`` (src/minroot.rs:410-418)."""
+        from .vdf import EvalMode as _EM, MinRootVDF as _V
+
+        v = _V(vdf.field, _EM(mode))
+        return cls.eval(v, x, t)[1]
+
     def _vdf(self) -> MinRootVDF:
         from ..fields import get_field
 
