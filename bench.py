@@ -109,6 +109,8 @@ def main():
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from vdf_tpu.minroot import EvalMode, State, pallas_vdf
 
