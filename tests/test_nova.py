@@ -86,11 +86,52 @@ class TestFoldingInternals:
     def test_cross_term_zero_for_identical_satisfied(self):
         """Folding a satisfied instance into the zero relaxed instance
         keeps E consistent (E' = r*T must satisfy the relaxed relation)."""
-        # covered implicitly by test_proof_verifies; here check shape sizes
+        # covered implicitly by test_proof_verifies; here check shape sizes:
+        # 3 constraints + 3 allocations per round (reference size,
+        # /root/reference/src/nova/proof.rs:155-230) + 2 output bindings
+        # + 3 output-IO bindings from shape().
         pp = public_params(2)
         s = pp.dev_shape.shape
-        assert s.num_cons == 3 * 2 + 1 + 3
-        assert s.num_aux == 4 * 2 + 1
+        assert s.num_cons == 3 * 2 + 2 + 3
+        assert s.num_aux == 3 * 2 + 2
+
+
+class TestStepCircuitSoundness:
+    """The x-chain must be bound: a forged witness with an arbitrary
+    intermediate new_x (satisfiable under the reference's unconstrained
+    allocation — every field element has a 5th root) must be REJECTED."""
+
+    @staticmethod
+    def _shape_and_inputs(t=1):
+        from vdf_tpu.nova.circuit import InverseMinRootCircuit
+
+        circ = InverseMinRootCircuit(t)
+        shape = circ.shape(FQ.modulus).shape()
+        return shape
+
+    def test_honest_witness_satisfies(self):
+        p = FQ.modulus
+        shape = self._shape_and_inputs()
+        x, y, i = 12345, 67890, 7
+        new_x = (y - (i - 1)) % p
+        tmp1 = x * x % p
+        tmp2 = tmp1 * tmp1 % p
+        new_y = (tmp2 * x - new_x) % p
+        w = [tmp1, tmp2, new_y, new_x, (i - 1) % p]
+        xio = [x, y, i, new_x, new_y, (i - 1) % p]
+        assert shape.is_satisfied(w, xio)
+
+    def test_forged_new_x_rejected(self):
+        p = FQ.modulus
+        shape = self._shape_and_inputs()
+        x, y, i = 12345, 67890, 7
+        forged_x = 999  # != y - (i-1): a free choice under the old circuit
+        tmp1 = x * x % p
+        tmp2 = tmp1 * tmp1 % p
+        new_y = (tmp2 * x - forged_x) % p  # consistent with the forgery
+        w = [tmp1, tmp2, new_y, forged_x, (i - 1) % p]
+        xio = [x, y, i, forged_x, new_y, (i - 1) % p]
+        assert not shape.is_satisfied(w, xio)
 
 
 class TestCompressedProof:

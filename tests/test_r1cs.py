@@ -22,11 +22,12 @@ class TestShape:
     def test_circuit_size_matches_reference(self):
         t = 5
         shape = InverseMinRootCircuit(t).shape(FQ.modulus).shape()
-        # Per round: tmp1, tmp2, round = 3 constraints; new_x, tmp1, tmp2,
-        # new_y = 4 allocations.  Plus final_i (1 alloc + 1 constraint)
-        # and 3 output bindings (standalone-mode IO).
-        assert shape.num_cons == 3 * t + 1 + 3
-        assert shape.num_aux == 4 * t + 1
+        # Per round: tmp1, tmp2, round = 3 constraints; tmp1, tmp2,
+        # new_y = 3 allocations (new_x is a bound Num, not an alloc).
+        # Plus final_x/final_i (2 allocs + 2 constraints) and 3 output
+        # bindings (standalone-mode IO).
+        assert shape.num_cons == 3 * t + 2 + 3
+        assert shape.num_aux == 3 * t + 2
         assert shape.num_inputs == 6  # z in (3) + z out (3)
 
     def test_satisfied_by_real_trace(self):
@@ -87,7 +88,7 @@ class TestShape:
         cs, outs = circuit.witness(f, [result.x, result.y, result.i], check=True)
         assert cs.failed == []
         assert f.decode(outs[0]) == [11, 22, 33]
-        assert cs.witness().shape[0] == 4 * t + 1
+        assert cs.witness().shape[0] == 3 * t + 2
 
 
 class TestConstraintSystemCore:

@@ -79,7 +79,7 @@ class TestSumcheck:
 
         tr2 = Transcript("Fq")
         tr2.absorb(f.encode(1))
-        rs_v, final_claim, ok = sumcheck_verify(f, tr2, msgs, claim)
+        rs_v, final_claim, ok = sumcheck_verify(f, tr2, msgs, claim, degree=2)
         assert bool(np.all(np.asarray(ok)))
         # final claim must equal a(r)*b(r)
         got = f.decode(f.mul(finals[0], finals[1]))
@@ -95,7 +95,7 @@ class TestSumcheck:
         tr = Transcript("Fq")
         rs, finals, msgs = sumcheck_prove(f, tr, [a, b], 2, "product", claim)
         tr2 = Transcript("Fq")
-        rs_v, _, ok = sumcheck_verify(f, tr2, msgs, claim)
+        rs_v, _, ok = sumcheck_verify(f, tr2, msgs, claim, degree=2)
         # messages are honest sums, so g(0)+g(1) != claimed 999
         assert not bool(np.all(np.asarray(ok)))
 

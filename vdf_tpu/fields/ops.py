@@ -258,6 +258,18 @@ class Field:
         one = jnp.zeros_like(a).at[..., 0].set(1)
         return self.canon(self.mul(a, one))
 
+    # field-agnostic helpers (same surface as IntField, so gadget code is
+    # polymorphic over device-limb and host-int execution) ------------------
+
+    def const_like(self, like: jnp.ndarray, k: int) -> jnp.ndarray:
+        return jnp.broadcast_to(self.encode(k), like.shape)
+
+    def zero_like(self, like: jnp.ndarray) -> jnp.ndarray:
+        return jnp.broadcast_to(self.zero, like.shape)
+
+    def one_like(self, like: jnp.ndarray) -> jnp.ndarray:
+        return jnp.broadcast_to(self.one, like.shape)
+
     # host-side conversions -------------------------------------------------
 
     def encode(self, values) -> jnp.ndarray:

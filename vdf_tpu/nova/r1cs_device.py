@@ -28,14 +28,15 @@ class DeviceMatrix:
     def matvec(self, field: Field, z: jnp.ndarray) -> jnp.ndarray:
         """M @ z over the field; z: (num_vars, 17) -> (num_rows, 17).
 
-        Limb-wise lazy accumulation: products are canonical (< 2^16 per
-        limb), so uint32 segment sums stay exact for up to 2^16 entries
-        per row — far beyond any circuit here; a single resolve + partial
+        Limb-wise lazy accumulation: products are < 2p with canonical
+        limbs, so uint32 segment sums stay exact and the row value stays
+        below ``2p * 2^15`` for up to 2^15 entries per row (enforced at
+        ``DeviceShape.build``); one resolve + a k_max=15 partial
         reduction recanonicalizes each row.
         """
         prods = field.mul(self.vals, z[self.cols])
         acc = jax.ops.segment_sum(prods, self.rows, num_segments=self.num_rows)
-        return field.partial_reduce(resolve(acc, NLIMBS), k_max=7)
+        return field.partial_reduce(resolve(acc, NLIMBS), k_max=15)
 
 
 @dataclasses.dataclass
@@ -49,6 +50,10 @@ class DeviceShape:
     def build(cls, field: Field, shape: R1CSShape) -> "DeviceShape":
         def mk(coo):
             rows, cols, coeffs = coo
+            if len(rows):
+                max_nnz = int(np.bincount(np.asarray(rows)).max())
+                # matvec's lazy-sum exactness bound (see matvec docstring).
+                assert max_nnz <= 1 << 15, f"row nnz {max_nnz} exceeds 2^15"
             vals = field.encode([int(c) for c in coeffs]) if len(coeffs) else jnp.zeros((0, NLIMBS), jnp.uint32)
             return DeviceMatrix(
                 jnp.asarray(rows), jnp.asarray(cols), vals, shape.num_cons

@@ -171,6 +171,12 @@ class Transcript:
         for k in range(0, max(len(buf), 1), self.rate):
             chunk = buf[k : k + self.rate]
             st = list(self.state)
+            # Length/padding tag into the capacity element: distinguishes
+            # absorbing zeros from absorbing nothing and full chunks from
+            # partial ones (duplex pad-10*-equivalent).
+            st[0] = f.add(
+                st[0], jnp.broadcast_to(f.encode(len(chunk) + 1), st[0].shape)
+            )
             for j, el in enumerate(chunk):
                 st[1 + j] = f.add(st[1 + j], el)
             self.state = self.pos.permute(st)

@@ -74,13 +74,22 @@ class Num:
     def lc(self, coeff: int = 1) -> LinearCombination:
         return self.lc_ if coeff == 1 else self.lc_.scale(coeff)
 
+    def square(self, cs, name: str = "square") -> "AllocatedNum":
+        """Allocate s = self^2 with constraint self * self = s (works on
+        any linear combination, not just single allocations)."""
+        if _is_witness(cs):
+            value = cs.field.sqr(self.value)
+            out = AllocatedNum(cs.alloc(name, value=value), value)
+        else:
+            out = AllocatedNum(cs.alloc(name))
+        cs.enforce(self.lc(), self.lc(), out.lc(), name=name)
+        return out
+
     def add_constant(self, cs, k: int) -> "Num":
         """self + k (k an integer constant; uses the u/ONE column)."""
         value = None
         if self.value is not None:
             f = cs.field
-            import jax.numpy as jnp
-
-            kv = jnp.broadcast_to(f.encode(k % f.params.modulus), self.value.shape)
+            kv = f.const_like(self.value, k)
             value = f.partial_reduce(f.add(self.value, kv), k_max=2)
         return Num(self.lc_.add(ONE, k), value)

@@ -48,7 +48,8 @@ class WitnessCS:
         if var.kind == "aux":
             return self.aux[var.index]
         if var.index == 0:
-            return jnp.broadcast_to(self.field.one, self.aux[0].shape if self.aux else self.inputs[0].shape)
+            ref = self.aux[0] if self.aux else self.inputs[0]
+            return self.field.one_like(ref)
         return self.inputs[var.index - 1]
 
     def alloc(self, name: str = "aux", value=None) -> Variable:
@@ -58,7 +59,13 @@ class WitnessCS:
         return v
 
     def alloc_input(self, name: str = "input", value=None) -> Variable:
-        raise NotImplementedError("inputs are provided up front in witness mode")
+        """Append a public input computed *during* synthesis (used by the
+        augmented circuit, whose IO hashes are outputs of the synthesis
+        itself).  Pre-bound inputs passed to __init__ keep lower indices."""
+        assert value is not None, "witness pass requires a value"
+        v = Variable("input", len(self.inputs) + 1)  # ONE is input 0
+        self.inputs.append(value)
+        return v
 
     def eval_lc(self, lc: LinearCombination) -> jnp.ndarray:
         f = self.field
@@ -69,12 +76,13 @@ class WitnessCS:
                 continue
             val = self.value_of(var)
             if coeff != 1:
-                val = f.mul(val, jnp.broadcast_to(f.encode(coeff), val.shape))
+                val = f.mul(val, f.const_like(val, coeff))
             acc = val if acc is None else f.add(acc, val)
+            acc = f.partial_reduce(acc, k_max=4)
         if acc is None:
-            shape = self.aux[0].shape if self.aux else self.inputs[0].shape
-            return jnp.broadcast_to(self.field.zero, shape)
-        return self.field.partial_reduce(acc, k_max=4)
+            ref = self.aux[0] if self.aux else self.inputs[0]
+            return f.zero_like(ref)
+        return acc
 
     def enforce(self, a, b, c, name: str = "") -> None:
         if not self.check:

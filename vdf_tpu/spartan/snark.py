@@ -183,7 +183,7 @@ def spartan_verify(pp, U: RelaxedInstance, proof: SpartanProof, tr: Transcript):
 
     tau = [tr.squeeze() for _ in range(s1)]
     zero = jnp.asarray(f.zero)
-    rs_x, final1, ok = sumcheck_verify(f, tr, proof.sc1_messages, zero)
+    rs_x, final1, ok = sumcheck_verify(f, tr, proof.sc1_messages, zero, degree=3)
     eq_tau_rx = _eq_point(f, tau, rs_x)
     inner = f.sub(
         f.mul(proof.vA, proof.vB),
@@ -198,7 +198,7 @@ def spartan_verify(pp, U: RelaxedInstance, proof: SpartanProof, tr: Transcript):
     claim2 = f.partial_reduce(
         f.add(proof.vA, f.add(f.mul(gamma, proof.vB), f.mul(g2, proof.vC))), k_max=2
     )
-    rs_y, final2, ok2 = sumcheck_verify(f, tr, proof.sc2_messages, claim2)
+    rs_y, final2, ok2 = sumcheck_verify(f, tr, proof.sc2_messages, claim2, degree=2)
     ok &= ok2
 
     eq_rx = eq_table(f, rs_x)[:n1]

@@ -187,16 +187,24 @@ def sumcheck_verify(
     tr: Transcript,
     messages: list[list[jnp.ndarray]],
     claim: jnp.ndarray,
+    degree: int,
 ):
     """Replay rounds; returns (rs, final_claim, ok) with ``ok`` a device
     bool (traceable) — the caller must also check final_claim against the
-    combined oracle evaluations at rs."""
+    combined oracle evaluations at rs.
+
+    Each round message must carry exactly ``degree + 1`` evaluations:
+    over-long messages would silently raise the effective degree, and
+    short ones would crash — both are rejected up front.
+    """
     import jax.numpy as _jnp
 
     f = field
     rs = []
     cur = claim
     ok = _jnp.asarray(True)
+    if any(len(evals) != degree + 1 for evals in messages):
+        return [f.encode(0) for _ in messages], claim, _jnp.asarray(False)
     for evals in messages:
         # g(0) + g(1) must equal the running claim.
         s = f.partial_reduce(f.add(evals[0], evals[1]), k_max=2)
