@@ -137,6 +137,23 @@ class Field:
 
         self._conv_full_mat = conv_mat(2 * NLIMBS + 1)
         self._conv_trunc_mat = conv_mat(NLIMBS)
+
+        # Anti-diagonal gather tables for the CPU conv path (_conv_int):
+        # row k lists the flattened (i, j) outer-product slots with
+        # i+j == k, padded with a dummy slot holding zero.
+        def gather_tab(out_len):
+            tab = np.full((out_len, NLIMBS), NLIMBS * NLIMBS, dtype=np.int32)
+            cnt = np.zeros(out_len, dtype=np.int64)
+            for i in range(NLIMBS):
+                for j in range(NLIMBS):
+                    k = i + j
+                    if k < out_len:
+                        tab[k, cnt[k]] = i * NLIMBS + j
+                        cnt[k] += 1
+            return jnp.asarray(tab)
+
+        self._conv_gather_full = gather_tab(2 * NLIMBS + 1)
+        self._conv_gather_trunc = gather_tab(NLIMBS)
         # Jit the public ops: compiled once per input shape, then cheap to
         # dispatch eagerly; inside an enclosing jit/scan they inline.
         for name in ("add", "sub", "mul", "sqr", "neg", "canon", "from_mont"):
@@ -188,6 +205,13 @@ class Field:
     # ------------------------------------------------------------------
 
     def _conv(self, a: jnp.ndarray, b: jnp.ndarray, full: bool) -> jnp.ndarray:
+        """Backend-adaptive limb convolution: MXU byte-plane matmul on
+        TPU, integer shifted-MAC on CPU (~50x faster there)."""
+        if jax.default_backend() == "tpu":
+            return self._conv_mxu(a, b, full)
+        return self._conv_int(a, b, full)
+
+    def _conv_mxu(self, a: jnp.ndarray, b: jnp.ndarray, full: bool) -> jnp.ndarray:
         """Schoolbook limb convolution as ONE matmul (hits the MXU).
 
         The flattened outer product of canonical limbs (exact 16x16-bit
@@ -216,6 +240,33 @@ class Field:
         return jnp.matmul(
             planes, mat, preferred_element_type=jnp.float32
         ).astype(jnp.uint32)
+
+    def _conv_int(self, a: jnp.ndarray, b: jnp.ndarray, full: bool) -> jnp.ndarray:
+        """Schoolbook limb convolution by anti-diagonal gathers (CPU path).
+
+        The MXU byte-plane matmul above trades ~35x redundant FLOPs for
+        systolic-array throughput — a fine trade on TPU, ruinous on a
+        host CPU (it is why the round-1 test suite crawled).  Here the
+        raw 16x16-bit outer products (< 2^32, exact in uint32) are split
+        into 16-bit halves and each output limb gathers its <= 17
+        anti-diagonal terms by a constant index table (position sums
+        < 17·2^16 < 2^21), with the hi halves landing one limb up.
+        All-integer, ~5x faster end-to-end than the matmul path on CPU
+        (fusion-friendly: the gather also stops XLA:CPU's
+        duplicate-producer loop fusion from recomputing the conv per
+        consumer, which is what sank the shifted-MAC variant).
+        """
+        out_len = 2 * NLIMBS + 1 if full else NLIMBS
+        outer = (a[..., :, None] * b[..., None, :]).reshape(
+            *a.shape[:-1], NLIMBS * NLIMBS
+        )
+        zpad = jnp.zeros((*outer.shape[:-1], 1), jnp.uint32)
+        lo = jnp.concatenate([outer & 0xFFFF, zpad], axis=-1)
+        hi = jnp.concatenate([outer >> 16, zpad], axis=-1)
+        tab = self._conv_gather_full if full else self._conv_gather_trunc
+        s_lo = lo[..., tab].sum(axis=-1)  # (…, out_len) < 2^21
+        s_hi = hi[..., tab].sum(axis=-1)
+        return s_lo + _shift_limbs_up(s_hi, 1)  # < 2^22: resolve-safe
 
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product a*b*R^-1 mod p; result < 2p, canonical limbs.

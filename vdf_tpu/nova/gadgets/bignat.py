@@ -106,6 +106,7 @@ def fold_mod(
     x_num,
     p_other: int,
     name: str = "nnfold",
+    x_bits: list[AllocatedBit] | None = None,
 ) -> BigNat:
     """X' = (X + r·x) mod p_other, with r a 128-bit challenge and x a
     native-field value < 2^250 (a truncated state hash).
@@ -124,8 +125,11 @@ def fold_mod(
     from .ec import num_mul
 
     assert len(r_bits) == 128
-    # x decomposed to 250 bits (doubles as the range proof x < 2^250).
-    x_bits = num_to_bits_le(cs, x_num, 250, f"{name}_xb")
+    # x decomposed to 250 bits (doubles as the range proof x < 2^250);
+    # callers that already decomposed x pass the bits in to share them.
+    if x_bits is None:
+        x_bits = num_to_bits_le(cs, x_num, 250, f"{name}_xb")
+    assert len(x_bits) == 250
     xl = _bits_limbs(cs, x_bits)  # x0, x1: 85 bits; x2: 80 bits
 
     rl = Num(bits_to_lc(r_bits[:LIMB_BITS]), bits_value(r_bits[:LIMB_BITS]) if _is_witness(cs) else None)
@@ -154,7 +158,6 @@ def fold_mod(
         X_int = X.value_int()
         total = X_int + r_int * x_int
         out_v = total % p_other
-        k_v = total // p_other - (out_v > total % p_other)  # exact: (total - out) / p
         k_v = (total - out_v) // p_other
     else:
         out_v = k_v = None
@@ -192,7 +195,7 @@ def fold_mod(
             X_int % (1 << LIMB_BITS) + (r_int % (1 << LIMB_BITS)) * (x_int % (1 << LIMB_BITS)),
         ]
         # easier: recompute d values directly from integers
-        xs = int_to_limbs(x_int) if True else None
+        xs = int_to_limbs(x_int)
         rl_v, rh_v = r_int & ((1 << LIMB_BITS) - 1), r_int >> LIMB_BITS
         Xl = [int(l.value) for l in X.limbs]
         outl = int_to_limbs(out_v)

@@ -1,0 +1,626 @@
+"""The two-curve Nova IVC engine: O(1)-size running proof, O(1) verify.
+
+Reference capability: nova-snark's PublicParams / RecursiveSNARK
+(/root/reference/src/nova/proof.rs:232-237, 301-358, 370-391).  The
+TPU-first split:
+
+  * **Control plane (host ints)**: instance folding, Fiat–Shamir
+    transcripts, and augmented-circuit witness synthesis are tiny,
+    branchy, and strictly sequential — exactly wrong for a TPU.  They
+    run on Python ints (fields/int_field.py, curves/int_ops.py,
+    poseidon/int_poseidon.py), whose outputs the circuits re-derive
+    bit-for-bit.
+  * **Data plane (device)**: the per-fold heavy lifting — Pedersen MSM
+    commitments of ~2^14-element witnesses and the NIFS cross-term's
+    six sparse matvecs — runs jitted on device, one fused executable
+    per curve side.
+
+Chain invariant (established by nova/augmented.py, checked here):
+
+    l_u_secondary.X[0] == H_Fq(d, n, z0, zn, r_U_secondary)
+    l_u_secondary.X[1] == H_Fp(d, n, [0], [0], r_U_primary)
+
+so the verifier touches exactly three instances however long the chain:
+the two running relaxed instances (one per curve) and the single
+dangling strict secondary instance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import hashlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves import get_curve
+from ..curves.int_ops import IDENTITY, IntCurve, get_int_curve
+from ..fields import Field, NLIMBS, get_field
+from ..poseidon.int_poseidon import IntTranscript
+from ..r1cs.cs import R1CSShape
+from .augmented import (
+    AugmentedCircuit,
+    AugmentedInputs,
+    CHALLENGE_BITS,
+    HASH_BITS,
+    make_circuits,
+)
+from .pedersen import CommitmentKey, commitment_key
+from .r1cs_device import DeviceShape
+
+# ---------------------------------------------------------------------
+# host-side instance types
+# ---------------------------------------------------------------------
+
+Affine = "tuple[int, int] | None"  # None = identity
+
+
+@dataclasses.dataclass
+class HostInstance:
+    """Strict (u=1, E=0) R1CS instance; X values are 250-bit hashes."""
+
+    comm_w: tuple | None
+    X: list[int]
+
+
+@dataclasses.dataclass
+class HostRelaxedInstance:
+    comm_w: tuple | None
+    comm_e: tuple | None
+    X: list[int]  # full field range
+    u: int  # integer < 2^250 (grows by one 128-bit challenge per fold)
+
+    @classmethod
+    def default(cls) -> "HostRelaxedInstance":
+        return cls(None, None, [0, 0], 0)
+
+    @classmethod
+    def from_strict(cls, u: HostInstance) -> "HostRelaxedInstance":
+        return cls(u.comm_w, None, list(u.X), 1)
+
+
+# -- canonical transcript encodings (circuit twins: gadgets/instance.py)
+
+
+def _limbs85(v: int) -> list[int]:
+    return [(v >> (85 * k)) & ((1 << 85) - 1) for k in range(3)]
+
+
+def _point_els(pt: tuple | None) -> list[int]:
+    return [0, 0, 1] if pt is None else [int(pt[0]), int(pt[1]), 0]
+
+
+def _relaxed_els(U: HostRelaxedInstance) -> list[int]:
+    return (
+        _point_els(U.comm_w)
+        + _point_els(U.comm_e)
+        + [U.u]
+        + _limbs85(U.X[0])
+        + _limbs85(U.X[1])
+    )
+
+
+def _strict_els(u: HostInstance) -> list[int]:
+    return _point_els(u.comm_w) + [u.X[0], u.X[1]]
+
+
+def state_hash(
+    field_name: str, d: int, i: int, z0: list[int], z_i: list[int], U: HostRelaxedInstance
+) -> int:
+    tr = IntTranscript(field_name)
+    tr.absorb(d, i, *z0, *z_i, *_relaxed_els(U))
+    return tr.squeeze() % (1 << HASH_BITS)
+
+
+def fold_challenge(
+    field_name: str,
+    d: int,
+    U: HostRelaxedInstance,
+    u: HostInstance,
+    comm_t: tuple | None,
+) -> int:
+    tr = IntTranscript(field_name)
+    tr.absorb(d, *_relaxed_els(U), *_strict_els(u), *_point_els(comm_t))
+    return tr.squeeze() % (1 << CHALLENGE_BITS)
+
+
+# ---------------------------------------------------------------------
+# host-int data plane (native C++ MSM + exact int matvec)
+# ---------------------------------------------------------------------
+
+
+class HostPlane:
+    """Exact host-int data plane: the CPU-offload analog of the
+    reference's native pasta-msm path (Cargo.toml:18) — Pippenger MSM in
+    C++ (native/pasta.cpp) plus Python-int sparse matvecs.  Used when no
+    TPU is attached (engine="auto" on CPU, e.g. the unit suite); the
+    device plane below is the TPU path.  Witness handles are plain int
+    lists here, jnp arrays there."""
+
+    def __init__(self, field_name: str, curve_name: str, shape: R1CSShape):
+        from ..fields.int_field import get_int_field
+
+        self.f = get_int_field(field_name)
+        self.curve_name = curve_name
+        self.shape = shape
+        self.coo = [
+            (list(map(int, r)), list(map(int, c)), [int(v) for v in vals])
+            for (r, c, vals) in (shape.a_coo, shape.b_coo, shape.c_coo)
+        ]
+        n = max(shape.num_aux, shape.num_cons)
+        n = 1 << (n - 1).bit_length()
+        from ..curves.point import hash_to_curve_ints
+
+        self.gens = hash_to_curve_ints(curve_name, n + 1, domain=b"vdf_tpu/ck")[:n]
+
+    def _msm(self, scalars: list[int]) -> tuple | None:
+        from ..native import msm_native
+
+        nz = [(s, g) for s, g in zip(scalars, self.gens) if s]
+        if not nz:
+            return None
+        out = msm_native(self.curve_name, [g for _, g in nz], [s for s, _ in nz])
+        if out is None:
+            return None
+        x, y, z = out  # Jacobian
+        mod = get_int_curve(self.curve_name).p
+        zi = pow(z, -1, mod)
+        return (x * zi * zi % mod, y * zi * zi % mod * zi % mod)
+
+    def commit(self, w: list[int]) -> tuple | None:
+        return self._msm([int(v) for v in w])
+
+    def _matvecs(self, z: list[int]) -> list[list[int]]:
+        p = self.f.p
+        outs = []
+        for rows, cols, vals in self.coo:
+            acc = [0] * self.shape.num_cons
+            for r, c, v in zip(rows, cols, vals):
+                acc[r] += v * z[c]
+            outs.append([a % p for a in acc])
+        return outs
+
+    def z_vec(self, w: list[int], x: list[int], u: int) -> list[int]:
+        return list(w) + [u] + list(x)
+
+    def cross(self, w1, x1, u1, w2, x2):
+        """T = Az1∘Bz2 + Az2∘Bz1 − u1·Cz2 − u2·Cz1, comm_T."""
+        p = self.f.p
+        az1, bz1, cz1 = self._matvecs(self.z_vec(w1, x1, u1))
+        az2, bz2, cz2 = self._matvecs(self.z_vec(w2, x2, 1))
+        t = [
+            (a1 * b2 + a2 * b1 - u1 * c2 - c1) % p
+            for a1, b1, c1, a2, b2, c2 in zip(az1, bz1, cz1, az2, bz2, cz2)
+        ]
+        return t, self.commit(t)
+
+    def fold_w(self, W, E, w2, t, r: int):
+        p = self.f.p
+        W2 = [(a + r * b) % p for a, b in zip(W, w2)]
+        E2 = [(a + r * b) % p for a, b in zip(E, t)]
+        return W2, E2
+
+    def default_w(self, n: int) -> list[int]:
+        return [0] * n
+
+    def sat(self, W, E, x, u, comm_w, comm_e) -> bool:
+        p = self.f.p
+        az, bz, cz = self._matvecs(self.z_vec(W, x, u))
+        for a, b, c, e in zip(az, bz, cz, E):
+            if (a * b) % p != (u * c + e) % p:
+                return False
+        return self.commit(W) == comm_w and self.commit(E) == comm_e
+
+
+# ---------------------------------------------------------------------
+# one curve side: shapes + device executables
+# ---------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Side:
+    """Everything attached to one circuit of the cycle."""
+
+    circuit: AugmentedCircuit
+    shape: R1CSShape
+    field: Field  # device field of the circuit
+    curve_name: str  # commitment curve (points live on the *other* base)
+    tr_field: str  # transcript field for folding THIS side's instances
+    # (= the other circuit's field, which re-derives the challenge)
+    engine: str = "auto"  # "device" (TPU) | "native" (host C++/int) | "auto"
+
+    @functools.cached_property
+    def use_device(self) -> bool:
+        if self.engine == "auto":
+            return jax.default_backend() == "tpu"
+        return self.engine == "device"
+
+    @functools.cached_property
+    def host_plane(self) -> HostPlane:
+        return HostPlane(self.field.params.name, self.curve_name, self.shape)
+
+    @functools.cached_property
+    def dev_shape(self) -> DeviceShape:
+        return DeviceShape.build(self.field, self.shape)
+
+    @functools.cached_property
+    def int_curve(self) -> IntCurve:
+        return get_int_curve(self.curve_name)
+
+    @functools.cached_property
+    def ck(self) -> CommitmentKey:
+        n = max(self.shape.num_aux, self.shape.num_cons)
+        n = 1 << (n - 1).bit_length()
+        return commitment_key(self.curve_name, n)
+
+    # -- host <-> device conversions -----------------------------------
+
+    def encode_w(self, w_ints: list[int]) -> jnp.ndarray:
+        return self.field.encode(w_ints)
+
+    def _decode_point(self, p) -> tuple | None:
+        return get_curve(self.curve_name).to_affine_ints(
+            type(p)(*(v[None] for v in p))
+        )[0]
+
+    def _encode_point(self, aff: tuple | None):
+        c = get_curve(self.curve_name)
+        if aff is None:
+            return c.identity(())
+        pt = c.from_affine_ints([aff])
+        return type(pt)(*(v[0] for v in pt))
+
+    def _x_u_enc(self, U) -> tuple[jnp.ndarray, jnp.ndarray]:
+        if isinstance(U, HostInstance):
+            return self.field.encode(U.X), jnp.asarray(self.field.one)
+        return self.field.encode(U.X), self.field.encode(U.u)
+
+    # -- fused device executables (one compile per side) ----------------
+
+    @functools.cached_property
+    def _commit_fn(self):
+        ck = self.ck
+
+        def commit(w):
+            return ck.commit(w)
+
+        return jax.jit(commit)
+
+    def commit_ints(self, w_ints: list[int]):
+        """-> (witness handle, affine commitment).  The handle is a jnp
+        array on the device plane, a plain int list on the host plane."""
+        if not self.use_device:
+            w = [int(v) for v in w_ints]
+            return w, self.host_plane.commit(w)
+        w = self.encode_w(w_ints)
+        return w, self._decode_point(self._commit_fn(w))
+
+    def zero_w(self):
+        if not self.use_device:
+            return self.host_plane.default_w(self.shape.num_aux)
+        return jnp.broadcast_to(self.field.zero, (self.shape.num_aux, NLIMBS))
+
+    def zero_e(self):
+        if not self.use_device:
+            return self.host_plane.default_w(self.shape.num_cons)
+        return jnp.broadcast_to(self.field.zero, (self.shape.num_cons, NLIMBS))
+
+    @functools.cached_property
+    def _cross_fn(self):
+        """(W1, E1_unused, w2, x1, u1, x2) -> (T, comm_T)."""
+        f, dev, ck = self.field, self.dev_shape, self.ck
+
+        def cross(W1, w2, x1, u1, x2):
+            one = jnp.asarray(f.one)
+            z1 = dev.z_vector(f, W1, x1, u1)
+            z2 = dev.z_vector(f, w2, x2, one)
+            t = dev.cross_term(f, z1, u1, z2, one)
+            return t, ck.commit(t)
+
+        return jax.jit(cross)
+
+    @functools.cached_property
+    def _wfold_fn(self):
+        """(W1, E1, w2, T, r) -> (W', E')."""
+        f = self.field
+
+        def wfold(W1, E1, w2, t, r):
+            W = f.partial_reduce(f.add(W1, f.mul(jnp.broadcast_to(r, w2.shape), w2)), k_max=2)
+            E = f.partial_reduce(f.add(E1, f.mul(jnp.broadcast_to(r, t.shape), t)), k_max=2)
+            return W, E
+
+        return jax.jit(wfold)
+
+    @functools.cached_property
+    def _sat_fn(self):
+        """Relaxed satisfaction + commitment-opening check."""
+        f, dev, ck = self.field, self.dev_shape, self.ck
+        c = get_curve(self.curve_name)
+
+        def sat(W, E, x, u, comm_w_pt, comm_e_pt):
+            ok = dev.check_relaxed_dev(f, W, E, x, u)
+            ok &= jnp.all(c.eq(ck.commit(W), comm_w_pt))
+            ok &= jnp.all(c.eq(ck.commit(E), comm_e_pt))
+            return ok
+
+        return jax.jit(sat)
+
+    def check_sat(self, U, W, E) -> bool:
+        comm_e = U.comm_e if isinstance(U, HostRelaxedInstance) else None
+        u_int = U.u if isinstance(U, HostRelaxedInstance) else 1
+        if not self.use_device:
+            if E is None:
+                E = self.host_plane.default_w(self.shape.num_cons)
+            return self.host_plane.sat(W, E, list(U.X), u_int, U.comm_w, comm_e)
+        x, u = self._x_u_enc(U)
+        if E is None:
+            E = jnp.broadcast_to(self.field.zero, (self.shape.num_cons, NLIMBS))
+        ok = self._sat_fn(
+            W, E, x, u, self._encode_point(U.comm_w), self._encode_point(comm_e)
+        )
+        return bool(jax.device_get(ok))
+
+    # -- the NIFS prover fold (host instances + device witnesses) -------
+
+    def fold(
+        self,
+        d: int,
+        U: HostRelaxedInstance,
+        W,
+        E,
+        u: HostInstance,
+        w2,
+    ):
+        """Returns (U', W', E', comm_T affine, r)."""
+        if not self.use_device:
+            t, comm_t = self.host_plane.cross(W, list(U.X), U.u, w2, list(u.X))
+            r = fold_challenge(self.tr_field, d, U, u, comm_t)
+            U_new = self.fold_instance(U, u, comm_t, r)
+            W_new, E_new = self.host_plane.fold_w(W, E, w2, t, r)
+            return U_new, W_new, E_new, comm_t, r
+        x1, u1 = self._x_u_enc(U)
+        x2, _ = self._x_u_enc(u)
+        t, comm_t_pt = self._cross_fn(W, w2, x1, u1, x2)
+        comm_t = self._decode_point(comm_t_pt)
+        r = fold_challenge(self.tr_field, d, U, u, comm_t)
+        U_new = self.fold_instance(U, u, comm_t, r)
+        W_new, E_new = self._wfold_fn(W, E, w2, t, self.field.encode(r))
+        return U_new, W_new, E_new, comm_t, r
+
+    def fold_instance(
+        self, U: HostRelaxedInstance, u: HostInstance, comm_t: tuple | None, r: int
+    ) -> HostRelaxedInstance:
+        """Instance-side fold (the part the augmented circuit re-derives)."""
+        c = self.int_curve
+        p = self.field.params.modulus
+
+        def scaled_add(base: tuple | None, pt: tuple | None) -> tuple | None:
+            acc = c.add(
+                c.from_affine(base), c.scalar_mul(c.from_affine(pt), r)
+            )
+            return c.to_affine(acc)
+
+        return HostRelaxedInstance(
+            scaled_add(U.comm_w, u.comm_w),
+            scaled_add(U.comm_e, comm_t),
+            [(U.X[k] + r * u.X[k]) % p for k in range(2)],
+            U.u + r,
+        )
+
+
+# ---------------------------------------------------------------------
+# public params
+# ---------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class IVCParams:
+    """Both augmented shapes + commitment keys (reference public_params,
+    proof.rs:232-237 — which likewise synthesizes the two augmented
+    circuits and their generators)."""
+
+    t: int
+    primary: Side
+    secondary: Side
+    digest: int
+
+    @property
+    def arity(self) -> int:
+        return self.primary.circuit.arity
+
+
+def _shapes_digest(*shapes: R1CSShape) -> int:
+    h = hashlib.sha256()
+    for shape in shapes:
+        for coo in (shape.a_coo, shape.b_coo, shape.c_coo):
+            h.update(np.asarray(coo[0]).tobytes())
+            h.update(np.asarray(coo[1]).tobytes())
+            for c in coo[2]:
+                h.update(int(c).to_bytes(32, "little"))
+        h.update(
+            b"%d/%d/%d" % (shape.num_cons, shape.num_aux, shape.num_inputs)
+        )
+    return int.from_bytes(h.digest(), "little") % (1 << HASH_BITS)
+
+
+@functools.lru_cache(maxsize=8)
+def ivc_public_params(t: int, engine: str = "auto") -> IVCParams:
+    """Synthesize both augmented shapes once; derive the params digest.
+
+    ``engine``: "device" forces the TPU/JAX data plane, "native" the
+    host C++/int plane, "auto" picks device iff a TPU is attached.
+    """
+    primary_c, secondary_c = make_circuits(t)
+    shape_p = primary_c.shape()
+    shape_s = secondary_c.shape()
+    digest = _shapes_digest(shape_p, shape_s)
+    primary = Side(primary_c, shape_p, get_field("Fq"), "pallas", "Fp", engine)
+    secondary = Side(secondary_c, shape_s, get_field("Fp"), "vesta", "Fq", engine)
+    return IVCParams(t, primary, secondary, digest)
+
+
+# ---------------------------------------------------------------------
+# RecursiveSNARK
+# ---------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class IVCProof:
+    """The O(1)-size running proof: two relaxed accumulators + the one
+    dangling strict secondary instance (matches nova-snark's
+    RecursiveSNARK verifier inputs, proof.rs:370-387)."""
+
+    i: int
+    z0: list[int]
+    z_i: list[int]
+    r_U_primary: HostRelaxedInstance
+    r_W_primary: object  # witness handle: jnp array (device) | int list (host)
+    r_E_primary: object
+    r_U_secondary: HostRelaxedInstance
+    r_W_secondary: object
+    r_E_secondary: object
+    l_u_secondary: HostInstance
+    l_w_secondary: object
+
+
+class RecursiveIVC:
+    """Prover state machine: new() runs the base step, prove_step extends."""
+
+    def __init__(self, pp: IVCParams, z0: list[int], debug: bool = False):
+        self.pp = pp
+        self.debug = debug
+        p = pp.primary.field.params.modulus
+        self.z0 = [int(z) % p for z in z0]
+
+        # base step: primary folds nothing; secondary lifts the first
+        # primary instance into the running accumulator.
+        d = pp.digest
+        inp = AugmentedInputs(
+            d, 0, self.z0, self.z0, HostRelaxedInstance.default(), None, None
+        )
+        l_u_p, l_w_p, z1 = self._synth(pp.primary, inp)
+        self.r_U_primary = HostRelaxedInstance.from_strict(l_u_p)
+        self.r_W_primary = l_w_p
+        self.r_E_primary = pp.primary.zero_e()
+
+        inp_s = AugmentedInputs(
+            d, 0, [0], [0], HostRelaxedInstance.default(), l_u_p, None
+        )
+        l_u_s, l_w_s, _ = self._synth(pp.secondary, inp_s)
+        self.r_U_secondary = HostRelaxedInstance.default()
+        self.r_W_secondary = pp.secondary.zero_w()
+        self.r_E_secondary = pp.secondary.zero_e()
+        self.l_u_secondary = l_u_s
+        self.l_w_secondary = l_w_s
+        self.i = 1
+        self.z_i = z1
+
+    def _synth(self, side: Side, inp: AugmentedInputs):
+        cs, z_next = side.circuit.witness(inp, check=self.debug)
+        if self.debug and cs.failed:
+            raise AssertionError(f"unsatisfied: {cs.failed[:10]}")
+        assert len(cs.aux) == side.shape.num_aux, (
+            f"witness/shape mismatch: {len(cs.aux)} vs {side.shape.num_aux}"
+        )
+        w_dev, comm = side.commit_ints(cs.aux)
+        return HostInstance(comm, [int(v) for v in cs.inputs]), w_dev, z_next
+
+    def prove_step(self) -> None:
+        """One IVC step (reference prove_step loop, proof.rs:342-349)."""
+        pp, d = self.pp, self.pp.digest
+
+        # 1. fold the dangling secondary instance into its accumulator.
+        U_sec_old = self.r_U_secondary
+        (
+            self.r_U_secondary,
+            self.r_W_secondary,
+            self.r_E_secondary,
+            comm_t_sec,
+            _,
+        ) = pp.secondary.fold(
+            d,
+            U_sec_old,
+            self.r_W_secondary,
+            self.r_E_secondary,
+            self.l_u_secondary,
+            self.l_w_secondary,
+        )
+
+        # 2. primary circuit: verifies that fold, applies F.
+        inp_p = AugmentedInputs(
+            d, self.i, self.z0, self.z_i, U_sec_old, self.l_u_secondary, comm_t_sec
+        )
+        l_u_p, l_w_p, z_next = self._synth(pp.primary, inp_p)
+
+        # 3. fold the fresh primary instance into its accumulator.
+        U_prim_old = self.r_U_primary
+        (
+            self.r_U_primary,
+            self.r_W_primary,
+            self.r_E_primary,
+            comm_t_prim,
+            _,
+        ) = pp.primary.fold(
+            d, U_prim_old, self.r_W_primary, self.r_E_primary, l_u_p, l_w_p
+        )
+
+        # 4. secondary circuit: verifies THAT fold (trivial F).
+        inp_s = AugmentedInputs(
+            d, self.i, [0], [0], U_prim_old, l_u_p, comm_t_prim
+        )
+        l_u_s, l_w_s, _ = self._synth(pp.secondary, inp_s)
+        self.l_u_secondary = l_u_s
+        self.l_w_secondary = l_w_s
+
+        self.i += 1
+        self.z_i = z_next
+
+    def proof(self) -> IVCProof:
+        return IVCProof(
+            self.i,
+            self.z0,
+            self.z_i,
+            self.r_U_primary,
+            self.r_W_primary,
+            self.r_E_primary,
+            self.r_U_secondary,
+            self.r_W_secondary,
+            self.r_E_secondary,
+            self.l_u_secondary,
+            self.l_w_secondary,
+        )
+
+
+def ivc_verify(pp: IVCParams, proof: IVCProof, num_steps: int, z0: list[int], zn: list[int]) -> bool:
+    """O(1) verification — three hash comparisons + three SAT checks,
+    independent of num_steps (reference verify, proof.rs:370-387)."""
+    if num_steps == 0 or proof.i != num_steps:
+        return False
+    p = pp.primary.field.params.modulus
+    z0 = [int(v) % p for v in z0]
+    zn = [int(v) % p for v in zn]
+    if proof.z0 != z0 or [int(v) % p for v in proof.z_i] != zn:
+        return False
+
+    d = pp.digest
+    h_p = state_hash("Fq", d, num_steps, z0, zn, proof.r_U_secondary)
+    if proof.l_u_secondary.X[0] != h_p:
+        return False
+    h_s = state_hash("Fp", d, num_steps, [0], [0], proof.r_U_primary)
+    if proof.l_u_secondary.X[1] != h_s:
+        return False
+
+    # range sanity on the running scalars (see gadget docstrings).
+    for U in (proof.r_U_primary, proof.r_U_secondary):
+        if not (0 <= U.u < (1 << HASH_BITS)):
+            return False
+
+    if not pp.primary.check_sat(proof.r_U_primary, proof.r_W_primary, proof.r_E_primary):
+        return False
+    if not pp.secondary.check_sat(
+        proof.r_U_secondary, proof.r_W_secondary, proof.r_E_secondary
+    ):
+        return False
+    return pp.secondary.check_sat(proof.l_u_secondary, proof.l_w_secondary, None)
