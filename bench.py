@@ -36,48 +36,173 @@ def measure_native_baseline() -> tuple[float, str]:
         return RUST_SINGLE_CHAIN_ITERS_PER_SEC, f"estimate (native failed: {exc})"
 
 
-def bench_folding(args):
-    """Nova folding steps/sec (BASELINE config 2/3): witness synthesis +
-    Pedersen commit + NIFS fold per step, via the jitted step function."""
+def _jax_setup(args):
     import jax
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return jax
 
-    from vdf_tpu.minroot import pallas_vdf
-    from vdf_tpu.nova import NovaVDFProof, eval_and_make_circuits, public_params
 
-    t = args.iters or (2 if args.smoke else 64)
-    n = 3 if args.smoke else 8
+def _forward_eval_ints(x, y, i, total):
+    from vdf_tpu.fields.int_field import get_int_field
 
-    vdf = pallas_vdf()
-    s0 = vdf.state_from_ints(987654321, 0, 1)
-    pp = public_params(t)
-    z0, circuits = eval_and_make_circuits(vdf, t, n, s0)
+    p = get_int_field("Fq").p
+    e = pow(5, -1, p - 1)
+    for _ in range(total):
+        x, y, i = pow((x + y) % p, e, p), (x + i) % p, i + 1
+    return x, y, i
 
-    # Warm (compiles the step executable).
-    proof = NovaVDFProof.prove_recursively(pp, circuits[:1], z0)
-    jax.block_until_ready((proof.snark.U, proof.snark.W))
+
+def _ivc_steps_per_sec(t: int, n: int, engine: str) -> tuple[float, bool]:
+    """Time n IVC steps of the two-curve engine; returns (steps/s, ok)."""
+    from vdf_tpu.nova.ivc import RecursiveIVC, ivc_public_params, ivc_verify
+
+    pp = ivc_public_params(t, engine=engine)
+    start = (987654321, 0, 1)
+    z0 = list(_forward_eval_ints(*start, n * t))
+    ivc = RecursiveIVC(pp, z0)  # base step warms/compiles both sides
+    ivc.prove_step()  # warm the fold path too
     t0 = time.perf_counter()
-    proof = NovaVDFProof.prove_recursively(pp, circuits, z0)
-    jax.block_until_ready((proof.snark.U, proof.snark.W))
+    for _ in range(n - 2):
+        ivc.prove_step()
     dt = time.perf_counter() - t0
-    assert proof.verify(pp, n, z0, [s0.x, s0.y, s0.i]), "folding bench proof invalid"
+    ok = ivc_verify(pp, ivc.proof(), n, z0, list(start))
+    return (n - 2) / dt, ok
 
-    steps_per_sec = n / dt
+
+def bench_folding(args):
+    """Nova IVC folding steps/sec (BASELINE config 2/3): two augmented-
+    circuit witness syntheses + two Pedersen commits + two NIFS folds per
+    step on the two-curve engine.  vs_baseline = the host-plane (native
+    C++ Pippenger + int matvec) engine on the same workload — the
+    reference's own acceleration tier (pasta-msm, Cargo.toml:18)."""
+    import jax
+
+    jax = _jax_setup(args)
+
+    t = args.iters or (2 if args.smoke else 32)
+    n = args.steps or (4 if args.smoke else 12)
+    engine = "native" if args.smoke else "auto"
+
+    sweep = [(t, n)] if not args.sweep else [(10, 200), (100, 20), (1000, 2)]
+    results = []
+    for t_i, n_i in sweep:
+        n_i = max(n_i, 3)  # warm step + timed steps
+        sps, ok = _ivc_steps_per_sec(t_i, n_i, engine)
+        assert ok, f"folding bench proof invalid at t={t_i}"
+        base_sps, base_ok = _ivc_steps_per_sec(t_i, n_i, "native")
+        assert base_ok
+        results.append((t_i, n_i, sps, base_sps))
+
+    t_i, n_i, sps, base_sps = results[0]
+    from vdf_tpu.nova.ivc import ivc_public_params
+
+    pp = ivc_public_params(t_i, engine=engine)
     result = {
         "metric": "nova_folding_steps_per_sec",
-        "value": round(steps_per_sec, 3),
+        "value": round(sps, 3),
         "unit": "folds/s",
-        "vs_baseline": None,
+        "vs_baseline": round(sps / base_sps, 3),
         "detail": {
-            "t_iters_per_step": t,
-            "num_steps": n,
-            "constraints_per_step": pp.dev_shape.shape.num_cons,
-            "wall_seconds": round(dt, 2),
+            "t_iters_per_step": t_i,
+            "num_steps": n_i,
+            "constraints_primary": pp.primary.shape.num_cons,
+            "constraints_secondary": pp.secondary.shape.num_cons,
+            "baseline_folds_per_sec": round(base_sps, 3),
+            "baseline_note": "host-plane engine: native C++ Pippenger MSM + int matvec",
             "verified": True,
+            "backend": jax.devices()[0].platform,
+            "sweep": [
+                {"t": a, "n": b, "folds_per_sec": round(c, 3), "baseline": round(d, 3)}
+                for a, b, c, d in results
+            ],
+        },
+    }
+    print(json.dumps(result))
+
+
+def bench_msm(args):
+    """Pippenger MSM points/sec/chip (BASELINE metric 3 / config 5).
+
+    Correctness-gated against the native C++ Pippenger oracle at a
+    smaller size, then timed at the target size (default 2^20 points on
+    TPU, 2^14 in smoke)."""
+    import jax
+
+    jax = _jax_setup(args)
+    import numpy as np
+
+    from vdf_tpu.curves import get_curve
+    from vdf_tpu.curves.msm import msm
+    from vdf_tpu.curves.point import Point, hash_to_curve_ints
+
+    curve = get_curve("pallas")
+    f = curve.scalar
+    n = args.points or (1 << 14 if args.smoke else 1 << 20)
+    n_check = min(n, 1 << 12)
+
+    rng = np.random.default_rng(7)
+    base_aff = hash_to_curve_ints("pallas", 1024, domain=b"vdf_tpu/bench")
+    aff = [base_aff[k % 1024] for k in range(n)]
+    pts = curve.from_affine_ints(aff)
+    q = f.params.modulus
+    scal_ints = [int.from_bytes(rng.bytes(32), "little") % q for k in range(n)]
+    s = f.encode(scal_ints)
+
+    # correctness gate vs the native C++ oracle
+    sub = Point(*(v[:n_check] for v in pts))
+    got = msm(curve, sub, s[:n_check])
+    got_aff = curve.to_affine_ints(Point(*(v[None] for v in got)))[0]
+    want = None
+    try:
+        from vdf_tpu.native import msm_native
+
+        out = msm_native("pallas", aff[:n_check], scal_ints[:n_check])
+        if out is not None:
+            x, y, z = out
+            mod = get_curve("pallas").field.params.modulus
+            zi = pow(z, -1, mod)
+            want = (x * zi * zi % mod, y * zi * zi % mod * zi % mod)
+    except Exception:
+        pass
+    if want is not None:
+        assert got_aff == want, "MSM bench correctness gate failed"
+
+    # native baseline points/s (same oracle, measured)
+    base_pps = None
+    try:
+        from vdf_tpu.native import msm_native
+
+        t0 = time.perf_counter()
+        msm_native("pallas", aff[:n_check], scal_ints[:n_check])
+        base_pps = n_check / (time.perf_counter() - t0)
+    except Exception:
+        pass
+
+    r = msm(curve, pts, s)  # warm/compile at full size
+    jax.block_until_ready(r.x)
+    reps = 1 if args.smoke else 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = msm(curve, pts, s)
+    jax.block_until_ready(r.x)
+    dt = (time.perf_counter() - t0) / reps
+
+    pps = n / dt
+    result = {
+        "metric": "msm_points_per_sec_per_chip",
+        "value": round(pps, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pps / base_pps, 3) if base_pps else None,
+        "detail": {
+            "points": n,
+            "wall_seconds": round(dt, 3),
+            "oracle_checked_at": n_check if want is not None else None,
+            "baseline_points_per_sec": round(base_pps, 1) if base_pps else None,
+            "baseline_note": "native C++ Pippenger (pasta-msm equivalent), measured",
             "backend": jax.devices()[0].platform,
         },
     }
@@ -100,17 +225,26 @@ def main():
         action="store_true",
         help="bench Nova folding steps/sec instead of raw VDF throughput",
     )
+    ap.add_argument(
+        "--msm",
+        action="store_true",
+        help="bench Pippenger MSM points/sec/chip (BASELINE metric 3)",
+    )
+    ap.add_argument("--points", type=int, default=None, help="MSM size")
+    ap.add_argument("--steps", type=int, default=None, help="IVC steps for --folding")
+    ap.add_argument(
+        "--sweep",
+        action="store_true",
+        help="run the reference (t,n) sweep {(10,200),(100,20),(1000,2)} (benches/nova.rs:62-66)",
+    )
     args = ap.parse_args()
 
     if args.folding:
         return bench_folding(args)
+    if args.msm:
+        return bench_msm(args)
 
-    import jax
-
-    if args.smoke:
-        jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax = _jax_setup(args)
 
     from vdf_tpu.minroot import EvalMode, State, pallas_vdf
 
@@ -162,6 +296,36 @@ def main():
     per_lane = iters_per_sec / lanes
     baseline, baseline_src = measure_native_baseline()
 
+    # Verify direction (benches/vdf.rs:25-43; BASELINE config 1 is
+    # eval+verify): the fast x^5 chain — fused Pallas kernel on TPU,
+    # XLA scan elsewhere.
+    if use_fused:
+        from vdf_tpu.minroot.fused import inverse_eval_fused
+
+        verify_fn = functools.partial(inverse_eval_fused, vdf, t=t, block_sublanes=32)
+    else:
+        verify_fn = jax.jit(functools.partial(vdf.inverse_eval_uncached, t=t))
+    back = verify_fn(s)
+    jax.block_until_ready(back.x)
+    # correctness gate on the inverse kernel: walk 2 lanes back one
+    # segment with exact ints and compare.
+    chk_x = f.decode(s.x[:2]); chk_y = f.decode(s.y[:2]); chk_i = f.decode(s.i[:2])
+    for lane in range(2):
+        x, y, i = chk_x[lane], chk_y[lane], chk_i[lane]
+        for _ in range(t):
+            i = (i - 1) % p
+            nx = (y - i) % p
+            x, y = nx, (pow(x, 5, p) - nx) % p
+        got = (f.decode(back.x[lane : lane + 1])[0],
+               f.decode(back.y[lane : lane + 1])[0],
+               f.decode(back.i[lane : lane + 1])[0])
+        assert got == (x, y, i), f"verify kernel gate failed on lane {lane}"
+    t0 = time.perf_counter()
+    back = verify_fn(s)
+    jax.block_until_ready(back.x)
+    dt_v = time.perf_counter() - t0
+    verify_iters_per_sec = lanes * t / dt_v
+
     result = {
         "metric": "minroot_aggregate_iters_per_sec",
         "value": round(iters_per_sec, 1),
@@ -178,6 +342,8 @@ def main():
             "backend": jax.devices()[0].platform,
             "baseline_iters_per_sec": round(baseline, 1),
             "baseline_note": baseline_src,
+            "verify_iters_per_sec": round(verify_iters_per_sec, 1),
+            "verify_wall_seconds": round(dt_v, 3),
         },
     }
     print(json.dumps(result))

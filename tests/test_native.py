@@ -59,3 +59,6 @@ class TestNativeMSM:
             "pallas", [(FP.modulus - 1, 2)], [0]
         )
         assert pts is None
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # heavy XLA compiles: slow CI lane

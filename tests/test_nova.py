@@ -145,3 +145,6 @@ class TestCompressedProof:
             comp, spartan=comp.spartan._replace(vW=pp.field.encode(1))
         )
         assert not bad.verify(pp, n, z0, zi)
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # heavy XLA compiles: slow CI lane

@@ -124,3 +124,6 @@ class TestIPA:
         assert not bool(np.asarray(ipa_verify(
             f, c, ck.gens, ck.h, comm, b, f.encode((v + 1) % p), proof, tr3
         )))
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # heavy XLA compiles: slow CI lane

@@ -19,6 +19,12 @@ from .minroot import (  # noqa: F401
     pallas_vdf,
     vesta_vdf,
 )
+from .errors import (  # noqa: F401
+    NovaError,
+    SerializationError,
+    SynthesisError,
+    VDFError,
+)
 from .utils import TEST_SEED  # noqa: F401
 
 # The reference declares Pallas the canonical instantiation

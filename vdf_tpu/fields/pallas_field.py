@@ -54,6 +54,14 @@ def kernel_consts(field_name: str):
     P = {"Fp": FP, "Fq": FQ}[field_name]
     p = P.modulus
     r12 = 1 << R12_BITS
+    # Borrow-ready limbs of 2p: every limb >= 0xfff (top >= p>>252, the
+    # max top limb of a canonical <p value), so (d2p - b) is limb-wise
+    # nonnegative for any canonical b < p while summing to exactly 2p.
+    d2p = _to_limbs12(2 * p).astype(np.int64)
+    d2p[0] += 1 << KB
+    d2p[1:-1] += (1 << KB) - 1
+    d2p[-1] -= 1
+    assert (d2p[:-1] >= KMASK).all() and d2p[-1] >= (p >> (KB * (NL12 - 1)))
     return {
         "p": _to_limbs12(p),
         "pinv": _to_limbs12((-pow(p, -1, r12)) % r12),
@@ -61,6 +69,9 @@ def kernel_consts(field_name: str):
         "r_to_kernel": (1 << R12_BITS) % p,  # jnp-mont -> kernel-mont factor
         "r_from_kernel": (1 << (272 + 8)) % p,  # kernel-mont -> jnp-mont factor
         "comp_p": _to_limbs12((1 << R12_BITS) - p),  # for conditional subtract
+        "comp_2p": _to_limbs12((1 << R12_BITS) - 2 * p),
+        "d2p": d2p.astype(np.int32),
+        "pm1_mont": _to_limbs12(p - (r12 % p)),  # Montgomery(-1): p - R mod p
         "modulus": p,
     }
 
@@ -156,6 +167,9 @@ class KernelField:
         self.pinv_np = c["pinv"]
         self.one_np = c["one"]
         self.comp_p_np = c["comp_p"]
+        self.comp_2p_np = c["comp_2p"]
+        self.d2p_np = c["d2p"]
+        self.pm1_np = c["pm1_mont"]
 
     def _mont_reduce(self, t_raw: list) -> list:
         """(T + m*p)/R for redundant T (43 limbs); output canonical < 2p."""
@@ -188,12 +202,29 @@ class KernelField:
 
     def cond_sub_p(self, a: list) -> list:
         """If a >= p subtract p (a must be canonical, < 2p)."""
+        return self._cond_sub(a, self.comp_p_np)
+
+    def cond_sub_2p(self, a: list) -> list:
+        """If a >= 2p subtract 2p (a canonical, < 4p)."""
+        return self._cond_sub(a, self.comp_2p_np)
+
+    def _cond_sub(self, a: list, comp_np) -> list:
         like = a[0]
         w, carry = _resolve_with_carry(
-            [x + c for x, c in zip(a, _const_list(self.comp_p_np, like))], NL12
+            [x + c for x, c in zip(a, _const_list(comp_np, like))], NL12
         )
         take = carry[0] > 0
         return [jnp.where(take, wx, ax) for wx, ax in zip(w, a)]
+
+    def neg2p(self, b: list) -> list:
+        """2p - b as limb-wise nonnegative lazy limbs (b canonical < p):
+        adding it subtracts b modulo p."""
+        like = b[0]
+        return [c - x for c, x in zip(_const_list(self.d2p_np, like), b)]
+
+    def reduce4p(self, a: list) -> list:
+        """Lazy value < 4p -> canonical < p."""
+        return self.cond_sub_p(self.cond_sub_2p(_resolve(a, NL12)))
 
 
 # ----------------------------------------------------------------------
@@ -311,6 +342,70 @@ def minroot_eval_tpu(
             out_shape=[out_shape] * 3,
             interpret=interpret,
         )(jnp.asarray(digits), x, y, i)
+
+    return jax.jit(run)
+
+
+def _minroot_inverse_kernel(field_name: str, t: int):
+    """Kernel body: t inverse MinRoot rounds (the verify direction,
+    /root/reference/src/minroot.rs:338-344): i' = i-1, x' = y-i',
+    y' = x^5 - x'.  Three multiplies + two modular subtractions per
+    round — no exponent table needed."""
+    kf = KernelField(field_name)
+
+    def kernel(x_ref, y_ref, i_ref, ox_ref, oy_ref, oi_ref):
+        def load(ref):
+            return [ref[l] for l in range(NL12)]
+
+        def store(ref, val):
+            for l in range(NL12):
+                ref[l] = val[l]
+
+        pm1 = _const_list(kf.pm1_np, x_ref[0])
+
+        def round_body(_, state):
+            x, y, i = state  # canonical < p
+            new_i = kf.cond_sub_p(_resolve(kf.add(i, pm1), NL12))  # < p
+            new_x = kf.reduce4p(kf.add(y, kf.neg2p(new_i)))  # y-i' < 3p -> < p
+            x5 = kf.mul(kf.sqr(kf.sqr(x)), x)  # < 2p
+            new_y = kf.reduce4p(kf.add(x5, kf.neg2p(new_x)))  # < 4p -> < p
+            return (new_x, new_y, new_i)
+
+        # inputs arrive canonical < 2p (the domain-switch multiply's
+        # bound); normalize so they qualify as subtrahends.
+        x, y, i = (kf.cond_sub_p(load(r)) for r in (x_ref, y_ref, i_ref))
+        x, y, i = jax.lax.fori_loop(0, t, round_body, (x, y, i))
+        store(ox_ref, x)
+        store(oy_ref, y)
+        store(oi_ref, i)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def minroot_inverse_tpu(
+    field_name: str, t: int, block_sublanes: int = 8, interpret: bool = False
+):
+    """Compiled fused inverse eval (verify): (x, y, i) limb12 arrays
+    (22, S, 128) -> same, walking the chain backward t rounds."""
+    kernel = _minroot_inverse_kernel(field_name, t)
+    bs = block_sublanes
+
+    def run(x, y, i):
+        S = x.shape[1]
+        grid = (S // bs,)
+        spec = pl.BlockSpec(
+            (NL12, bs, 128), lambda b: (0, b, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((NL12, S, 128), jnp.int32)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[spec] * 3,
+            out_specs=[spec] * 3,
+            out_shape=[out_shape] * 3,
+            interpret=interpret,
+        )(x, y, i)
 
     return jax.jit(run)
 

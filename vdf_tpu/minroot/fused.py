@@ -21,6 +21,7 @@ from ..fields import Field, get_field, int_to_limbs
 from ..fields.pallas_field import (
     NL12,
     minroot_eval_tpu,
+    minroot_inverse_tpu,
     repack_12_to_16,
     repack_16_to_12,
 )
@@ -71,5 +72,21 @@ def eval_fused(vdf, s: State, t: int, block_sublanes: int = 8, interpret: bool =
     lanes_padded = -(-lanes // blk) * blk
     kx, ky, ki = (_to_kernel(f, a, lanes_padded) for a in (s.x, s.y, s.i))
     fn = minroot_eval_tpu(f.params.name, t, block_sublanes, interpret)
+    ox, oy, oi = fn(kx, ky, ki)
+    return State(*(_from_kernel(f, a, lanes) for a in (ox, oy, oi)))
+
+
+def inverse_eval_fused(
+    vdf, s: State, t: int, block_sublanes: int = 8, interpret: bool = False
+) -> State:
+    """Fused t-round inverse eval (the verify direction,
+    benches/vdf.rs:25-43): same boundary conversion as ``eval_fused``,
+    three multiplies per round instead of ~287."""
+    f = vdf.field
+    lanes = s.x.shape[0]
+    blk = 128 * block_sublanes
+    lanes_padded = -(-lanes // blk) * blk
+    kx, ky, ki = (_to_kernel(f, a, lanes_padded) for a in (s.x, s.y, s.i))
+    fn = minroot_inverse_tpu(f.params.name, t, block_sublanes, interpret)
     ox, oy, oi = fn(kx, ky, ki)
     return State(*(_from_kernel(f, a, lanes) for a in (ox, oy, oi)))

@@ -9,6 +9,14 @@ from .snark import (
     eval_and_make_circuits,
     public_params,
 )
+from .ivc import (
+    IVCParams,
+    IVCProof,
+    RecursiveIVC,
+    ivc_public_params,
+    ivc_verify,
+)
+from .compressed import CompressedIVCProof, ivc_compress, ivc_verify_compressed
 
 __all__ = [
     "InverseMinRootCircuit",
@@ -26,4 +34,12 @@ __all__ = [
     "RecursiveSNARK",
     "eval_and_make_circuits",
     "public_params",
+    "IVCParams",
+    "IVCProof",
+    "RecursiveIVC",
+    "ivc_public_params",
+    "ivc_verify",
+    "CompressedIVCProof",
+    "ivc_compress",
+    "ivc_verify_compressed",
 ]

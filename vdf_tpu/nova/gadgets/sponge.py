@@ -49,16 +49,24 @@ def permute_gadget(cs, field_name: str, state: list, name: str = "pos") -> list:
 
     def mds_mul(s: list) -> list:
         out = []
+        lcs = [el.lc() for el in s]
         for i in range(width):
-            lc = LinearCombination()
-            value = 0 if _is_witness(cs) else None
+            # single-dict accumulation: avoids width copies of growing
+            # LC dicts per output row (the synthesis hot loop)
+            acc: dict = {}
+            get = acc.get
             for j in range(width):
-                lc = lc + s[j].lc(mds[i][j])
-                if value is not None:
+                m = mds[i][j]
+                for v, c in lcs[j].terms.items():
+                    acc[v] = get(v, 0) + c * m
+            value = None
+            if _is_witness(cs):
+                value = 0
+                for j in range(width):
                     value = cs.field.add(
                         value, cs.field.mul(s[j].value, mds[i][j] % cs.field.params.modulus)
                     )
-            out.append(Num(lc, value))
+            out.append(Num(LinearCombination(acc), value))
         return out
 
     s = [el if isinstance(el, Num) else Num.from_alloc(el) for el in state]

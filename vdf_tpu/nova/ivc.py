@@ -40,6 +40,7 @@ from ..curves.int_ops import IDENTITY, IntCurve, get_int_curve
 from ..fields import Field, NLIMBS, get_field
 from ..poseidon.int_poseidon import IntTranscript
 from ..r1cs.cs import R1CSShape
+from ..utils.profiling import PhaseTimer
 from .augmented import (
     AugmentedCircuit,
     AugmentedInputs,
@@ -230,6 +231,7 @@ class Side:
     tr_field: str  # transcript field for folding THIS side's instances
     # (= the other circuit's field, which re-derives the challenge)
     engine: str = "auto"  # "device" (TPU) | "native" (host C++/int) | "auto"
+    mesh: object = None  # jax Mesh over the "shard" axis: TP for MSM/matvec
 
     @functools.cached_property
     def use_device(self) -> bool:
@@ -280,11 +282,50 @@ class Side:
     # -- fused device executables (one compile per side) ----------------
 
     @functools.cached_property
+    def _use_tp(self) -> bool:
+        return self.mesh is not None and self.mesh.devices.size > 1
+
+    def _commit(self, w):
+        """Pedersen commit, mesh-sharded when a shard mesh is attached
+        (SURVEY §2.4 TP row: points partition over chips, one partial
+        point gathered per chip)."""
+        if not self._use_tp:
+            return self.ck.commit(w)
+        from ..curves.point import Point
+        from ..parallel.mesh import sharded_msm
+
+        gens = Point(*(v[: w.shape[0]] for v in self.ck.gens))
+        return sharded_msm(get_curve(self.curve_name), gens, w, self.mesh)
+
+    def _matvec(self, mat, z):
+        """Row-sharded sparse matvec under TP, plain matvec otherwise."""
+        if not self._use_tp:
+            return mat.matvec(self.field, z)
+        from ..parallel.mesh import sharded_matvec
+
+        return sharded_matvec(self.field, mat, z, self.mesh)
+
+    def _cross_term(self, z1, u1, z2, u2):
+        f, dev = self.field, self.dev_shape
+        az1, bz1, cz1 = (self._matvec(m, z1) for m in (dev.a, dev.b, dev.c))
+        az2, bz2, cz2 = (self._matvec(m, z2) for m in (dev.a, dev.b, dev.c))
+        t = f.add(f.mul(az1, bz2), f.mul(az2, bz1))
+        t = f.sub(t, f.mul(jnp.broadcast_to(u1, cz2.shape), cz2))
+        t = f.sub(t, f.mul(jnp.broadcast_to(u2, cz1.shape), cz1))
+        return t
+
+    def _materialize(self):
+        """Build ck/dev_shape eagerly (outside any jit trace): their
+        construction encodes host constants to device arrays, which must
+        not happen first under tracing."""
+        _ = self.ck, self.dev_shape
+
+    @functools.cached_property
     def _commit_fn(self):
-        ck = self.ck
+        self._materialize()
 
         def commit(w):
-            return ck.commit(w)
+            return self._commit(w)
 
         return jax.jit(commit)
 
@@ -310,14 +351,15 @@ class Side:
     @functools.cached_property
     def _cross_fn(self):
         """(W1, E1_unused, w2, x1, u1, x2) -> (T, comm_T)."""
-        f, dev, ck = self.field, self.dev_shape, self.ck
+        self._materialize()
+        f, dev = self.field, self.dev_shape
 
         def cross(W1, w2, x1, u1, x2):
             one = jnp.asarray(f.one)
             z1 = dev.z_vector(f, W1, x1, u1)
             z2 = dev.z_vector(f, w2, x2, one)
-            t = dev.cross_term(f, z1, u1, z2, one)
-            return t, ck.commit(t)
+            t = self._cross_term(z1, u1, z2, one)
+            return t, self._commit(t)
 
         return jax.jit(cross)
 
@@ -336,13 +378,18 @@ class Side:
     @functools.cached_property
     def _sat_fn(self):
         """Relaxed satisfaction + commitment-opening check."""
-        f, dev, ck = self.field, self.dev_shape, self.ck
+        self._materialize()
+        f, dev = self.field, self.dev_shape
         c = get_curve(self.curve_name)
 
         def sat(W, E, x, u, comm_w_pt, comm_e_pt):
-            ok = dev.check_relaxed_dev(f, W, E, x, u)
-            ok &= jnp.all(c.eq(ck.commit(W), comm_w_pt))
-            ok &= jnp.all(c.eq(ck.commit(E), comm_e_pt))
+            z = dev.z_vector(f, W, x, u)
+            az, bz, cz = (self._matvec(m, z) for m in (dev.a, dev.b, dev.c))
+            lhs = f.mul(az, bz)
+            rhs = f.add(f.mul(jnp.broadcast_to(u, cz.shape), cz), E)
+            ok = jnp.all(f.eq(lhs, rhs))
+            ok &= jnp.all(c.eq(self._commit(W), comm_w_pt))
+            ok &= jnp.all(c.eq(self._commit(E), comm_e_pt))
             return ok
 
         return jax.jit(sat)
@@ -446,18 +493,20 @@ def _shapes_digest(*shapes: R1CSShape) -> int:
 
 
 @functools.lru_cache(maxsize=8)
-def ivc_public_params(t: int, engine: str = "auto") -> IVCParams:
+def ivc_public_params(t: int, engine: str = "auto", mesh=None) -> IVCParams:
     """Synthesize both augmented shapes once; derive the params digest.
 
     ``engine``: "device" forces the TPU/JAX data plane, "native" the
     host C++/int plane, "auto" picks device iff a TPU is attached.
+    ``mesh``: optional jax Mesh over the "shard" axis — the device
+    plane's MSMs and matvecs then run tensor-parallel across it.
     """
     primary_c, secondary_c = make_circuits(t)
     shape_p = primary_c.shape()
     shape_s = secondary_c.shape()
     digest = _shapes_digest(shape_p, shape_s)
-    primary = Side(primary_c, shape_p, get_field("Fq"), "pallas", "Fp", engine)
-    secondary = Side(secondary_c, shape_s, get_field("Fp"), "vesta", "Fq", engine)
+    primary = Side(primary_c, shape_p, get_field("Fq"), "pallas", "Fp", engine, mesh)
+    secondary = Side(secondary_c, shape_s, get_field("Fp"), "vesta", "Fq", engine, mesh)
     return IVCParams(t, primary, secondary, digest)
 
 
@@ -491,6 +540,7 @@ class RecursiveIVC:
     def __init__(self, pp: IVCParams, z0: list[int], debug: bool = False):
         self.pp = pp
         self.debug = debug
+        self.timer = PhaseTimer()  # per-phase observability (SURVEY §5)
         p = pp.primary.field.params.modulus
         self.z0 = [int(z) % p for z in z0]
 
@@ -518,13 +568,15 @@ class RecursiveIVC:
         self.z_i = z1
 
     def _synth(self, side: Side, inp: AugmentedInputs):
-        cs, z_next = side.circuit.witness(inp, check=self.debug)
+        with self.timer.phase(f"synthesize/{side.field.params.name}"):
+            cs, z_next = side.circuit.witness(inp, check=self.debug)
         if self.debug and cs.failed:
             raise AssertionError(f"unsatisfied: {cs.failed[:10]}")
         assert len(cs.aux) == side.shape.num_aux, (
             f"witness/shape mismatch: {len(cs.aux)} vs {side.shape.num_aux}"
         )
-        w_dev, comm = side.commit_ints(cs.aux)
+        with self.timer.phase(f"commit/{side.curve_name}"):
+            w_dev, comm = side.commit_ints(cs.aux)
         return HostInstance(comm, [int(v) for v in cs.inputs]), w_dev, z_next
 
     def prove_step(self) -> None:
@@ -533,6 +585,8 @@ class RecursiveIVC:
 
         # 1. fold the dangling secondary instance into its accumulator.
         U_sec_old = self.r_U_secondary
+        timer_fold = self.timer.phase("fold/secondary")
+        timer_fold.__enter__()
         (
             self.r_U_secondary,
             self.r_W_secondary,
@@ -547,6 +601,7 @@ class RecursiveIVC:
             self.l_u_secondary,
             self.l_w_secondary,
         )
+        timer_fold.__exit__(None, None, None)
 
         # 2. primary circuit: verifies that fold, applies F.
         inp_p = AugmentedInputs(
@@ -556,6 +611,8 @@ class RecursiveIVC:
 
         # 3. fold the fresh primary instance into its accumulator.
         U_prim_old = self.r_U_primary
+        timer_fold = self.timer.phase("fold/primary")
+        timer_fold.__enter__()
         (
             self.r_U_primary,
             self.r_W_primary,
@@ -565,6 +622,7 @@ class RecursiveIVC:
         ) = pp.primary.fold(
             d, U_prim_old, self.r_W_primary, self.r_E_primary, l_u_p, l_w_p
         )
+        timer_fold.__exit__(None, None, None)
 
         # 4. secondary circuit: verifies THAT fold (trivial F).
         inp_s = AugmentedInputs(

@@ -6,6 +6,8 @@ from .mesh import (
     shard_state,
     sharded_check,
     sharded_eval,
+    sharded_matvec,
+    sharded_msm,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "shard_state",
     "sharded_check",
     "sharded_eval",
+    "sharded_matvec",
+    "sharded_msm",
 ]

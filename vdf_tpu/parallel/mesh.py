@@ -92,6 +92,50 @@ def sharded_matvec(field, dev_mat, z: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     return field.partial_reduce(resolve(acc, NLIMBS), k_max=15)
 
 
+def sharded_msm(curve, points, scalars_mont: jnp.ndarray, mesh: Mesh):
+    """Mesh-sharded Pippenger MSM (BASELINE config 5; reference's native
+    pasta-msm is single-node, Cargo.toml:18 — sharding is new capability).
+
+    Points and scalars partition over the ``shard`` axis; every device
+    runs the full sorted-bucket Pippenger on its slice; the per-device
+    partial sums are all-gathered (one point each — O(n_dev) bytes over
+    ICI) and tree-added.  Group addition is not an arithmetic psum, so
+    the gather+tree is the natural collective."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..curves.msm import _tree_sum, _window_bits, msm_pippenger_traceable
+    from ..curves.point import Point
+
+    n_dev = mesh.devices.size
+    n = points.x.shape[0]
+    pad = (-n) % n_dev
+    if pad:
+        # Padded scalars are zero: their digits land in bucket 0 (dumped).
+        zero = jnp.zeros((pad, scalars_mont.shape[-1]), scalars_mont.dtype)
+        scalars_mont = jnp.concatenate([scalars_mont, zero])
+        points = Point(
+            *(jnp.concatenate([v, jnp.broadcast_to(v[-1:], (pad, v.shape[-1]))])
+              for v in points)
+        )
+    c = _window_bits(max(points.x.shape[0] // n_dev, 2))
+
+    def local(pts, s):
+        acc = msm_pippenger_traceable(curve, Point(*pts), s, c)
+        return tuple(v[None] for v in acc)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=((P(SHARD_AXIS, None),) * 3, P(SHARD_AXIS, None)),
+        out_specs=(P(SHARD_AXIS, None),) * 3,
+        # the scan carries inside Pippenger start as unvarying constants;
+        # skip the varying-manual-axes (replication) check
+        check_rep=False,
+    )
+    partials = Point(*fn(tuple(points), scalars_mont))  # (n_dev, 17) each
+    return _tree_sum(curve, partials)
+
+
 def sharded_check(vdf, t: int, mesh: Mesh):
     """Jitted sharded verify: returns the number of valid lanes (psum'd
     into a replicated scalar) — exercises a real collective."""

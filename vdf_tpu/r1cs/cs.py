@@ -18,15 +18,16 @@ host-synthesis / device-prove split:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import numpy as np
 
 
-@dataclasses.dataclass(frozen=True)
-class Variable:
+class Variable(NamedTuple):
     """Either an aux (witness) var or an input (public IO) var; ``ONE`` is
-    input 0, matching bellperson's convention."""
+    input 0, matching bellperson's convention.  A NamedTuple so hashing
+    (the hottest op in synthesis — every LC merge hashes every term) runs
+    at C tuple speed."""
 
     kind: str  # "aux" | "input"
     index: int
