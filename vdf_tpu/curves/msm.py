@@ -226,7 +226,15 @@ def msm_pippenger_traceable(
     curve: Curve, points: Point, scalars_mont: jnp.ndarray, c: int = 12
 ) -> Point:
     """Σ s_i · P_i via sorted-bucket Pippenger: ~2N + 2^c·log(2^c) adds
-    per window vs the bit-plane evaluator's N per *bit*."""
+    per window vs the bit-plane evaluator's N per *bit*.
+
+    ALL windows run batched (vmap over the window axis): the sorted
+    segmented scans, bucket scatters, and suffix sums execute as single
+    wide device passes of shape (W, ...).  Only the closing Horner
+    double-and-add chain over the ~W per-window sums is sequential —
+    running windows one-by-one (the natural CPU/GPU structure) costs
+    ~W× in kernel-dispatch overhead on TPU and was the round-2 MSM
+    bottleneck (20k points/s; batched: see bench --msm)."""
     n = points.x.shape[0]
     lanes = _scan_lanes(n)
     n_pad = -(-n // lanes) * lanes
@@ -267,16 +275,34 @@ def msm_pippenger_traceable(
         total = _hs_scan(curve, suffix)
         return Point(*(v[-1] for v in total))
 
-    def body(acc, digits_w):
-        # windows arrive MSB-first: shift then add.
+    # Window groups bound peak memory: each batched window materializes
+    # ~N sorted points + run prefixes, so cap the gathered footprint per
+    # pass (~2^23 point-slots) and lax.map over groups (body compiled
+    # once, groups sequential).
+    group = max(1, min(n_windows, _GROUP_SLOT_BUDGET // n_pad))
+    n_groups = -(-n_windows // group)
+    w_pad = n_groups * group - n_windows
+    # Extra windows are MSB-side zeros: their window sum is the identity
+    # and the Horner chain below stays at the identity through them.
+    digits = jnp.pad(digits, ((0, w_pad), (0, 0)))
+    grouped = digits.reshape(n_groups, group, n_pad)
+    window_sums = jax.lax.map(jax.vmap(window_sum), grouped)  # (G, g) points
+    window_sums = Point(
+        *(v.reshape(n_groups * group, *v.shape[2:]) for v in window_sums)
+    )  # (W_pad,), LSB first
+
+    def body(acc, q):
+        # windows consumed MSB-first: shift then add.
         def dbl(_, a):
             return curve.double(a)
 
         acc = jax.lax.fori_loop(0, c, dbl, acc)
-        acc = curve.add(acc, window_sum(digits_w))
+        acc = curve.add(acc, q)
         return acc, None
 
-    acc, _ = jax.lax.scan(body, curve.identity(()), digits[::-1])
+    acc, _ = jax.lax.scan(
+        body, curve.identity(()), Point(*(v[::-1] for v in window_sums))
+    )
     return acc
 
 
@@ -289,6 +315,10 @@ def _msm_jit(curve_name: str, pippenger: bool, c: int = 12):
         return jax.jit(lambda pts, s: msm_pippenger_traceable(curve, pts, s, c))
     return jax.jit(lambda pts, s: msm_traceable(curve, pts, s))
 
+
+# Point-slots (sorted copies + run prefixes) a window group may
+# materialize at once; bounds peak HBM of the batched Pippenger.
+_GROUP_SLOT_BUDGET = 1 << 17
 
 # Below this size the bit-plane evaluator's simpler graph wins.
 _PIPPENGER_MIN_N = 256

@@ -33,8 +33,10 @@ def _domain_consts(field_name: str):
     f = get_field(field_name)
     p = f.params.modulus
     # mont_mul(x*2^272, c) = x*c: pick c to land in / leave the 2^264 domain.
-    to_k = jnp.asarray(int_to_limbs((1 << 264) % p))
-    from_k = jnp.asarray(int_to_limbs((1 << (272 + 8)) % p))
+    # Cached as NUMPY arrays: caching device arrays would capture a tracer
+    # if the first call happened under a jit trace.
+    to_k = np.asarray(int_to_limbs((1 << 264) % p))
+    from_k = np.asarray(int_to_limbs((1 << (272 + 8)) % p))
     return to_k, from_k
 
 

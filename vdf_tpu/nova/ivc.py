@@ -280,35 +280,67 @@ class Side:
         return self.field.encode(U.X), self.field.encode(U.u)
 
     # -- fused device executables (one compile per side) ----------------
+    #
+    # The R1CS matrices (~200k nnz x 17 limbs) and Pedersen generators
+    # (~2^14 points) are passed to every jitted executable as ARGUMENTS,
+    # never closed over: captured concrete arrays become XLA constants,
+    # and constant-folding >10MB literals sends compile time through the
+    # roof (the round-2 multichip-dryrun timeout).
 
     @functools.cached_property
     def _use_tp(self) -> bool:
         return self.mesh is not None and self.mesh.devices.size > 1
 
-    def _commit(self, w):
+    @functools.cached_property
+    def _tables(self):
+        """Pytree of the big device arrays, passed as jit operands."""
+        self._materialize()
+        dev = self.dev_shape
+        return {
+            "mats": tuple((m.rows, m.cols, m.vals) for m in (dev.a, dev.b, dev.c)),
+            "gens": tuple(self.ck.gens),
+        }
+
+    def _commit_t(self, tables, w):
         """Pedersen commit, mesh-sharded when a shard mesh is attached
         (SURVEY §2.4 TP row: points partition over chips, one partial
         point gathered per chip)."""
-        if not self._use_tp:
-            return self.ck.commit(w)
         from ..curves.point import Point
+
+        gens = Point(*(v[: w.shape[0]] for v in tables["gens"]))
+        if not self._use_tp:
+            from ..curves.msm import (
+                _PIPPENGER_MIN_N,
+                _window_bits,
+                msm_pippenger_traceable,
+                msm_traceable,
+            )
+
+            curve = get_curve(self.curve_name)
+            n = w.shape[0]
+            if n >= _PIPPENGER_MIN_N:
+                return msm_pippenger_traceable(curve, gens, w, _window_bits(n))
+            return msm_traceable(curve, gens, w)
         from ..parallel.mesh import sharded_msm
 
-        gens = Point(*(v[: w.shape[0]] for v in self.ck.gens))
         return sharded_msm(get_curve(self.curve_name), gens, w, self.mesh)
 
-    def _matvec(self, mat, z):
+    def _matvec_t(self, mat_arrs, z):
         """Row-sharded sparse matvec under TP, plain matvec otherwise."""
+        from .r1cs_device import DeviceMatrix
+
+        mat = DeviceMatrix(*mat_arrs, num_rows=self.shape.num_cons)
         if not self._use_tp:
             return mat.matvec(self.field, z)
         from ..parallel.mesh import sharded_matvec
 
         return sharded_matvec(self.field, mat, z, self.mesh)
 
-    def _cross_term(self, z1, u1, z2, u2):
-        f, dev = self.field, self.dev_shape
-        az1, bz1, cz1 = (self._matvec(m, z1) for m in (dev.a, dev.b, dev.c))
-        az2, bz2, cz2 = (self._matvec(m, z2) for m in (dev.a, dev.b, dev.c))
+    def _cross_term_t(self, tables, z1, u1, z2, u2):
+        f = self.field
+        ma, mb, mc = tables["mats"]
+        az1, bz1, cz1 = (self._matvec_t(m, z1) for m in (ma, mb, mc))
+        az2, bz2, cz2 = (self._matvec_t(m, z2) for m in (ma, mb, mc))
         t = f.add(f.mul(az1, bz2), f.mul(az2, bz1))
         t = f.sub(t, f.mul(jnp.broadcast_to(u1, cz2.shape), cz2))
         t = f.sub(t, f.mul(jnp.broadcast_to(u2, cz1.shape), cz1))
@@ -322,12 +354,9 @@ class Side:
 
     @functools.cached_property
     def _commit_fn(self):
-        self._materialize()
-
-        def commit(w):
-            return self._commit(w)
-
-        return jax.jit(commit)
+        jitted = jax.jit(lambda tables, w: self._commit_t(tables, w))
+        tables = self._tables
+        return lambda w: jitted(tables, w)
 
     def commit_ints(self, w_ints: list[int]):
         """-> (witness handle, affine commitment).  The handle is a jnp
@@ -350,18 +379,19 @@ class Side:
 
     @functools.cached_property
     def _cross_fn(self):
-        """(W1, E1_unused, w2, x1, u1, x2) -> (T, comm_T)."""
-        self._materialize()
-        f, dev = self.field, self.dev_shape
+        """(W1, w2, x1, u1, x2) -> (T, comm_T)."""
+        f = self.field
 
-        def cross(W1, w2, x1, u1, x2):
+        def cross(tables, W1, w2, x1, u1, x2):
             one = jnp.asarray(f.one)
-            z1 = dev.z_vector(f, W1, x1, u1)
-            z2 = dev.z_vector(f, w2, x2, one)
-            t = self._cross_term(z1, u1, z2, one)
-            return t, self._commit(t)
+            z1 = self.dev_shape.z_vector(f, W1, x1, u1)
+            z2 = self.dev_shape.z_vector(f, w2, x2, one)
+            t = self._cross_term_t(tables, z1, u1, z2, one)
+            return t, self._commit_t(tables, t)
 
-        return jax.jit(cross)
+        jitted = jax.jit(cross)
+        tables = self._tables
+        return lambda W1, w2, x1, u1, x2: jitted(tables, W1, w2, x1, u1, x2)
 
     @functools.cached_property
     def _wfold_fn(self):
@@ -378,21 +408,22 @@ class Side:
     @functools.cached_property
     def _sat_fn(self):
         """Relaxed satisfaction + commitment-opening check."""
-        self._materialize()
-        f, dev = self.field, self.dev_shape
+        f = self.field
         c = get_curve(self.curve_name)
 
-        def sat(W, E, x, u, comm_w_pt, comm_e_pt):
-            z = dev.z_vector(f, W, x, u)
-            az, bz, cz = (self._matvec(m, z) for m in (dev.a, dev.b, dev.c))
+        def sat(tables, W, E, x, u, comm_w_pt, comm_e_pt):
+            z = self.dev_shape.z_vector(f, W, x, u)
+            az, bz, cz = (self._matvec_t(m, z) for m in tables["mats"])
             lhs = f.mul(az, bz)
             rhs = f.add(f.mul(jnp.broadcast_to(u, cz.shape), cz), E)
             ok = jnp.all(f.eq(lhs, rhs))
-            ok &= jnp.all(c.eq(self._commit(W), comm_w_pt))
-            ok &= jnp.all(c.eq(self._commit(E), comm_e_pt))
+            ok &= jnp.all(c.eq(self._commit_t(tables, W), comm_w_pt))
+            ok &= jnp.all(c.eq(self._commit_t(tables, E), comm_e_pt))
             return ok
 
-        return jax.jit(sat)
+        jitted = jax.jit(sat)
+        tables = self._tables
+        return lambda *args: jitted(tables, *args)
 
     def check_sat(self, U, W, E) -> bool:
         comm_e = U.comm_e if isinstance(U, HostRelaxedInstance) else None
