@@ -277,9 +277,17 @@ def msm_pippenger_traceable(
 
     # Window groups bound peak memory: each batched window materializes
     # ~N sorted points + run prefixes, so cap the gathered footprint per
-    # pass (~2^23 point-slots) and lax.map over groups (body compiled
-    # once, groups sequential).
-    group = max(1, min(n_windows, _GROUP_SLOT_BUDGET // n_pad))
+    # pass and lax.map over groups (body compiled once, groups
+    # sequential).  On non-TPU backends the budget also keeps the
+    # vmapped field-mul batches under the XLA:CPU miscompile onset
+    # (fields/ops.py _CPU_SAFE_ROWS — vmap multiplies the executed batch
+    # past what Field.mul's own chunking can see).
+    budget = (
+        _GROUP_SLOT_BUDGET
+        if jax.default_backend() == "tpu"
+        else _CPU_GROUP_SLOT_BUDGET
+    )
+    group = max(1, min(n_windows, budget // n_pad))
     n_groups = -(-n_windows // group)
     w_pad = n_groups * group - n_windows
     # Extra windows are MSB-side zeros: their window sum is the identity
@@ -319,6 +327,10 @@ def _msm_jit(curve_name: str, pippenger: bool, c: int = 12):
 # Point-slots (sorted copies + run prefixes) a window group may
 # materialize at once; bounds peak HBM of the batched Pippenger.
 _GROUP_SLOT_BUDGET = 1 << 17
+
+# Non-TPU backends: keep executed (group x lanes) mul batches well under
+# the XLA:CPU miscompile onset (see fields/ops.py _CPU_SAFE_ROWS).
+_CPU_GROUP_SLOT_BUDGET = 1 << 14
 
 # Below this size the bit-plane evaluator's simpler graph wins.
 _PIPPENGER_MIN_N = 256

@@ -37,6 +37,11 @@ from .params import (
 
 _BASE = 1 << LIMB_BITS
 
+# Max flat batch rows per compiled mul chunk on non-TPU backends (see
+# Field.mul): 2^14 is ~2.5x below the empirically-located XLA:CPU
+# miscompile onset (between 40000 and 49152 rows).
+_CPU_SAFE_ROWS = 1 << 14
+
 
 def _shift_limbs_up(v: jnp.ndarray, k: int) -> jnp.ndarray:
     """Multiply by 2^(16k): move limbs toward the high end, keep length."""
@@ -138,25 +143,29 @@ class Field:
         self._conv_full_mat = conv_mat(2 * NLIMBS + 1)
         self._conv_trunc_mat = conv_mat(NLIMBS)
 
-        # Anti-diagonal gather tables for the CPU conv path (_conv_int):
-        # row k lists the flattened (i, j) outer-product slots with
-        # i+j == k, padded with a dummy slot holding zero.
-        def gather_tab(out_len):
-            tab = np.full((out_len, NLIMBS), NLIMBS * NLIMBS, dtype=np.int32)
-            cnt = np.zeros(out_len, dtype=np.int64)
-            for i in range(NLIMBS):
-                for j in range(NLIMBS):
-                    k = i + j
-                    if k < out_len:
-                        tab[k, cnt[k]] = i * NLIMBS + j
-                        cnt[k] += 1
-            return jnp.asarray(tab)
+        # Scatter matrices for the CPU conv path (_conv_int): 16-bit
+        # halves of the outer products land at limb i+j (lo) / i+j+1
+        # (hi).  Each output dot accumulates <= 34 terms < 2^16
+        # (< 2^21.1), exact in f32 — so a plain sgemm works.
+        def conv_f32(out_len):
+            return jnp.asarray(
+                np.concatenate(
+                    [
+                        scatter_mat(k_lo, out_len, 1.0),
+                        scatter_mat(k_hi, out_len, 1.0),
+                    ]
+                ),
+                dtype=jnp.float32,
+            )
 
-        self._conv_gather_full = gather_tab(2 * NLIMBS + 1)
-        self._conv_gather_trunc = gather_tab(NLIMBS)
+        self._conv_f32_full = conv_f32(2 * NLIMBS + 1)
+        self._conv_f32_trunc = conv_f32(NLIMBS)
         # Jit the public ops: compiled once per input shape, then cheap to
         # dispatch eagerly; inside an enclosing jit/scan they inline.
-        for name in ("add", "sub", "mul", "sqr", "neg", "canon", "from_mont"):
+        # _mul_core stays its own jitted sub-computation: inlining it into
+        # the chunking lax.map body re-triggers the XLA:CPU miscompile the
+        # chunking exists to dodge (see Field.mul).
+        for name in ("_mul_core", "add", "sub", "mul", "sqr", "neg", "canon", "from_mont"):
             setattr(self, name, jax.jit(getattr(self, name)))
         self.partial_reduce = jax.jit(self.partial_reduce, static_argnames=("k_max",))
 
@@ -242,34 +251,67 @@ class Field:
         ).astype(jnp.uint32)
 
     def _conv_int(self, a: jnp.ndarray, b: jnp.ndarray, full: bool) -> jnp.ndarray:
-        """Schoolbook limb convolution by anti-diagonal gathers (CPU path).
+        """Schoolbook limb convolution as an f32 matmul (CPU path).
 
-        The MXU byte-plane matmul above trades ~35x redundant FLOPs for
-        systolic-array throughput — a fine trade on TPU, ruinous on a
-        host CPU (it is why the round-1 test suite crawled).  Here the
-        raw 16x16-bit outer products (< 2^32, exact in uint32) are split
-        into 16-bit halves and each output limb gathers its <= 17
-        anti-diagonal terms by a constant index table (position sums
-        < 17·2^16 < 2^21), with the hi halves landing one limb up.
-        All-integer, ~5x faster end-to-end than the matmul path on CPU
-        (fusion-friendly: the gather also stops XLA:CPU's
-        duplicate-producer loop fusion from recomputing the conv per
-        consumer, which is what sank the shifted-MAC variant).
+        The raw 16x16-bit outer products (< 2^32, exact in uint32) are
+        split into 16-bit halves and scattered into positional sums by a
+        constant 0/1 matrix — the hi halves landing one limb up.  Every
+        matmul operand is < 2^16 and each dot accumulates <= 34 such
+        terms (< 2^22), exact in f32's 24-bit mantissa.
+
+        An f32 sgemm beats both earlier CPU formulations: the shifted-MAC
+        and anti-diagonal-gather variants lowered to giant fused integer
+        loops that (a) XLA:CPU MIScompiled above a ~40k-row cost
+        threshold — deterministically wrong limbs, the round-2 TP
+        cross-term corruption — and (b) fed its algebraic simplifier
+        50-iteration fixpoint loops (minutes of compile).  The library
+        gemm call sidesteps that codegen path entirely and materializes
+        its output, fencing consumer fusions.
         """
         out_len = 2 * NLIMBS + 1 if full else NLIMBS
         outer = (a[..., :, None] * b[..., None, :]).reshape(
             *a.shape[:-1], NLIMBS * NLIMBS
         )
-        zpad = jnp.zeros((*outer.shape[:-1], 1), jnp.uint32)
-        lo = jnp.concatenate([outer & 0xFFFF, zpad], axis=-1)
-        hi = jnp.concatenate([outer >> 16, zpad], axis=-1)
-        tab = self._conv_gather_full if full else self._conv_gather_trunc
-        s_lo = lo[..., tab].sum(axis=-1)  # (…, out_len) < 2^21
-        s_hi = hi[..., tab].sum(axis=-1)
-        return s_lo + _shift_limbs_up(s_hi, 1)  # < 2^22: resolve-safe
+        planes = jnp.concatenate([outer & 0xFFFF, outer >> 16], axis=-1).astype(
+            jnp.float32
+        )
+        mat = self._conv_f32_full if full else self._conv_f32_trunc
+        return jnp.matmul(planes, mat).astype(jnp.uint32)
 
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product a*b*R^-1 mod p; result < 2p, canonical limbs.
+
+        Non-TPU backends process large batches in fixed-size chunks via
+        ``lax.map``: XLA:CPU (jax 0.9.0) deterministically MIScompiles the
+        big fused conv/reduce loops this op otherwise lowers to — wrong
+        limbs for every row once the flat batch exceeds ~40k rows
+        (verified empirically; onset is a cost-threshold, not a power of
+        two, so the chunk size keeps a wide margin).  Chunking also
+        sidesteps the algebraic-simplifier blowups that dominated CPU
+        compile times.
+        """
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        rows = int(np.prod(shape[:-1], dtype=np.int64)) if len(shape) > 1 else 1
+        if jax.default_backend() == "tpu" or rows <= _CPU_SAFE_ROWS:
+            return self._mul_core(a, b)
+        a = jnp.broadcast_to(a, shape).reshape(-1, NLIMBS)
+        b = jnp.broadcast_to(b, shape).reshape(-1, NLIMBS)
+        k = -(-rows // _CPU_SAFE_ROWS)
+        pad = k * _CPU_SAFE_ROWS - rows
+        if pad:
+            a = jnp.pad(a, ((0, pad), (0, 0)))
+            b = jnp.pad(b, ((0, pad), (0, 0)))
+        out = jax.lax.map(
+            lambda ab: self._mul_core(ab[0], ab[1]),
+            (
+                a.reshape(k, _CPU_SAFE_ROWS, NLIMBS),
+                b.reshape(k, _CPU_SAFE_ROWS, NLIMBS),
+            ),
+        )
+        return out.reshape(k * _CPU_SAFE_ROWS, NLIMBS)[:rows].reshape(shape)
+
+    def _mul_core(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """One-chunk Montgomery product (see ``mul``).
 
         The m factor is computed from the *resolved* low half of T; its own
         redundancy only shifts the quotient by a small multiple of p, which

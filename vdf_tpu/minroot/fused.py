@@ -62,20 +62,40 @@ def _from_kernel(f: Field, a12: jnp.ndarray, lanes: int) -> jnp.ndarray:
     return f.mul(a16, jnp.broadcast_to(from_k, a16.shape))
 
 
+@functools.lru_cache(maxsize=32)
+def _fused_end_to_end(
+    field_name: str, t: int, block_sublanes: int, interpret: bool, inverse: bool
+):
+    """ONE jitted executable: boundary conversion in, kernel, boundary
+    conversion out.  Running the repack/domain-switch ops eagerly costs
+    hundreds of per-op dispatches per call (ruinous through a remote-TPU
+    tunnel: it made the r02 verify metric ~50x slower than the kernel);
+    a single jit makes the whole round trip one dispatch."""
+    f = get_field(field_name)
+    make_kernel = minroot_inverse_tpu if inverse else minroot_eval_tpu
+    fn = make_kernel(field_name, t, block_sublanes, interpret)
+    blk = 128 * block_sublanes
+
+    def run(x, y, i):
+        lanes = x.shape[0]
+        lanes_padded = -(-lanes // blk) * blk
+        kx, ky, ki = (_to_kernel(f, a, lanes_padded) for a in (x, y, i))
+        ox, oy, oi = fn(kx, ky, ki)
+        return tuple(_from_kernel(f, a, lanes) for a in (ox, oy, oi))
+
+    return jax.jit(run)
+
+
 def eval_fused(vdf, s: State, t: int, block_sublanes: int = 8, interpret: bool = False) -> State:
     """Fused t-round MinRoot eval over (lanes, 17) state arrays.
 
     Lanes are padded up to a multiple of 128*block_sublanes; pad lanes
     compute garbage that is discarded on the way out.
     """
-    f = vdf.field
-    lanes = s.x.shape[0]
-    blk = 128 * block_sublanes
-    lanes_padded = -(-lanes // blk) * blk
-    kx, ky, ki = (_to_kernel(f, a, lanes_padded) for a in (s.x, s.y, s.i))
-    fn = minroot_eval_tpu(f.params.name, t, block_sublanes, interpret)
-    ox, oy, oi = fn(kx, ky, ki)
-    return State(*(_from_kernel(f, a, lanes) for a in (ox, oy, oi)))
+    fn = _fused_end_to_end(
+        vdf.field.params.name, t, block_sublanes, interpret, inverse=False
+    )
+    return State(*fn(s.x, s.y, s.i))
 
 
 def inverse_eval_fused(
@@ -84,11 +104,7 @@ def inverse_eval_fused(
     """Fused t-round inverse eval (the verify direction,
     benches/vdf.rs:25-43): same boundary conversion as ``eval_fused``,
     three multiplies per round instead of ~287."""
-    f = vdf.field
-    lanes = s.x.shape[0]
-    blk = 128 * block_sublanes
-    lanes_padded = -(-lanes // blk) * blk
-    kx, ky, ki = (_to_kernel(f, a, lanes_padded) for a in (s.x, s.y, s.i))
-    fn = minroot_inverse_tpu(f.params.name, t, block_sublanes, interpret)
-    ox, oy, oi = fn(kx, ky, ki)
-    return State(*(_from_kernel(f, a, lanes) for a in (ox, oy, oi)))
+    fn = _fused_end_to_end(
+        vdf.field.params.name, t, block_sublanes, interpret, inverse=True
+    )
+    return State(*fn(s.x, s.y, s.i))

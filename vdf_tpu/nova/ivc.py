@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..curves import get_curve
+from ..errors import NovaError, SynthesisError
 from ..curves.int_ops import IDENTITY, IntCurve, get_int_curve
 from ..fields import Field, NLIMBS, get_field
 from ..poseidon.int_poseidon import IntTranscript
@@ -602,10 +603,11 @@ class RecursiveIVC:
         with self.timer.phase(f"synthesize/{side.field.params.name}"):
             cs, z_next = side.circuit.witness(inp, check=self.debug)
         if self.debug and cs.failed:
-            raise AssertionError(f"unsatisfied: {cs.failed[:10]}")
-        assert len(cs.aux) == side.shape.num_aux, (
-            f"witness/shape mismatch: {len(cs.aux)} vs {side.shape.num_aux}"
-        )
+            raise SynthesisError(f"unsatisfied: {cs.failed[:10]}")
+        if len(cs.aux) != side.shape.num_aux:
+            raise SynthesisError(
+                f"witness/shape mismatch: {len(cs.aux)} vs {side.shape.num_aux}"
+            )
         with self.timer.phase(f"commit/{side.curve_name}"):
             w_dev, comm = side.commit_ints(cs.aux)
         return HostInstance(comm, [int(v) for v in cs.inputs]), w_dev, z_next

@@ -30,6 +30,7 @@ from ..curves import get_curve
 from ..fields import Field, NLIMBS, get_field
 from ..minroot import Evaluation, MinRootVDF, State
 from ..poseidon import Transcript
+from ..errors import NovaError
 from .circuit import InverseMinRootCircuit
 from .nifs import NIFS, R1CSInstance, RelaxedInstance, RelaxedWitness
 from .pedersen import commitment_key
@@ -146,7 +147,8 @@ def eval_and_make_circuits(
 ):
     """Run the slow VDF for n segments; emit circuits in reverse order
     (reference proof.rs:262-298).  Returns (z0, circuits)."""
-    assert num_steps > 0
+    if num_steps <= 0:
+        raise NovaError("num_steps must be positive")
     t = num_iters_per_step
     states = [initial_state]
     s = initial_state

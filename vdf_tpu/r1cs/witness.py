@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..errors import SynthesisError
 from ..fields import Field
 from .cs import ONE, LinearCombination, Variable
 
@@ -53,7 +54,8 @@ class WitnessCS:
         return self.inputs[var.index - 1]
 
     def alloc(self, name: str = "aux", value=None) -> Variable:
-        assert value is not None, "witness pass requires a value"
+        if value is None:
+            raise SynthesisError("witness pass requires a value")
         v = Variable("aux", len(self.aux))
         self.aux.append(value)
         return v
@@ -62,7 +64,8 @@ class WitnessCS:
         """Append a public input computed *during* synthesis (used by the
         augmented circuit, whose IO hashes are outputs of the synthesis
         itself).  Pre-bound inputs passed to __init__ keep lower indices."""
-        assert value is not None, "witness pass requires a value"
+        if value is None:
+            raise SynthesisError("witness pass requires a value")
         v = Variable("input", len(self.inputs) + 1)  # ONE is input 0
         self.inputs.append(value)
         return v

@@ -114,13 +114,25 @@ class _Reader:
 # ---------------------------------------------------------------------
 
 
+NUM_IO = 2  # both augmented circuits expose exactly two public inputs
+
+
+def _check_len(what: str, got: int, want: int):
+    if got != want:
+        raise SerializationError(f"{what}: length {got}, expected {want}")
+
+
 def _w_strict(w: _Writer, u: HostInstance):
     w.point(u.comm_w)
     w.fe_vec(u.X)
 
 
-def _r_strict(r: _Reader, base_mod: int) -> HostInstance:
-    return HostInstance(r.point(base_mod), r.fe_vec())
+def _r_strict(r: _Reader, side: Side) -> HostInstance:
+    u = HostInstance(
+        r.point(_base_mod(side)), r.fe_vec(side.field.params.modulus)
+    )
+    _check_len("strict instance X", len(u.X), NUM_IO)
+    return u
 
 
 def _w_relaxed(w: _Writer, U: HostRelaxedInstance):
@@ -130,10 +142,17 @@ def _w_relaxed(w: _Writer, U: HostRelaxedInstance):
     w.fe(U.u)
 
 
-def _r_relaxed(r: _Reader, base_mod: int) -> HostRelaxedInstance:
-    return HostRelaxedInstance(
-        r.point(base_mod), r.point(base_mod), r.fe_vec(), r.fe()
+def _r_relaxed(r: _Reader, side: Side) -> HostRelaxedInstance:
+    base_mod = _base_mod(side)
+    scalar_mod = side.field.params.modulus
+    U = HostRelaxedInstance(
+        r.point(base_mod),
+        r.point(base_mod),
+        r.fe_vec(scalar_mod),
+        r.fe(scalar_mod),
     )
+    _check_len("relaxed instance X", len(U.X), NUM_IO)
+    return U
 
 
 def _witness_ints(side: Side, handle) -> list[int]:
@@ -188,14 +207,27 @@ def deserialize_ivc_proof(pp: IVCParams, data: bytes) -> IVCProof:
     i = r.u64()
     z0 = r.fe_vec(p_mod)
     z_i = r.fe_vec(p_mod)
-    U_p = _r_relaxed(r, _base_mod(pp.primary))
-    W_p = _witness_handle(pp.primary, r.fe_vec(p_mod))
-    E_p = _witness_handle(pp.primary, r.fe_vec(p_mod))
-    U_s = _r_relaxed(r, _base_mod(pp.secondary))
-    W_s = _witness_handle(pp.secondary, r.fe_vec(s_mod))
-    E_s = _witness_handle(pp.secondary, r.fe_vec(s_mod))
-    l_u = _r_strict(r, _base_mod(pp.secondary))
-    l_w = _witness_handle(pp.secondary, r.fe_vec(s_mod))
+    _check_len("z0", len(z0), pp.arity)
+    _check_len("z_i", len(z_i), pp.arity)
+
+    def _wvec(side: Side, mod: int, n: int, what: str):
+        """Witness vectors feed jitted kernels whose gathers clamp
+        out-of-range indices silently — wrong-length decodes must fail
+        closed HERE, not evaluate a distorted relation downstream."""
+        vs = r.fe_vec(mod)
+        _check_len(what, len(vs), n)
+        return _witness_handle(side, vs)
+
+    n_aux_p, n_cons_p = pp.primary.shape.num_aux, pp.primary.shape.num_cons
+    n_aux_s, n_cons_s = pp.secondary.shape.num_aux, pp.secondary.shape.num_cons
+    U_p = _r_relaxed(r, pp.primary)
+    W_p = _wvec(pp.primary, p_mod, n_aux_p, "primary W")
+    E_p = _wvec(pp.primary, p_mod, n_cons_p, "primary E")
+    U_s = _r_relaxed(r, pp.secondary)
+    W_s = _wvec(pp.secondary, s_mod, n_aux_s, "secondary W")
+    E_s = _wvec(pp.secondary, s_mod, n_cons_s, "secondary E")
+    l_u = _r_strict(r, pp.secondary)
+    l_w = _wvec(pp.secondary, s_mod, n_aux_s, "secondary l_w")
     r.done()
     return IVCProof(i, z0, z_i, U_p, W_p, E_p, U_s, W_s, E_s, l_u, l_w)
 
@@ -303,9 +335,11 @@ def deserialize_compressed(pp: IVCParams, data: bytes) -> CompressedIVCProof:
     i = r.u64()
     z0 = r.fe_vec(p_mod)
     z_i = r.fe_vec(p_mod)
-    U_p = _r_relaxed(r, _base_mod(pp.primary))
-    U_s = _r_relaxed(r, _base_mod(pp.secondary))
-    l_u = _r_strict(r, _base_mod(pp.secondary))
+    _check_len("z0", len(z0), pp.arity)
+    _check_len("z_i", len(z_i), pp.arity)
+    U_p = _r_relaxed(r, pp.primary)
+    U_s = _r_relaxed(r, pp.secondary)
+    l_u = _r_strict(r, pp.secondary)
     comm_t = r.point(_base_mod(pp.secondary))
     sp_p = _r_spartan(r, pp.primary)
     sp_s = _r_spartan(r, pp.secondary)
