@@ -599,6 +599,29 @@ class RecursiveIVC:
         self.i = 1
         self.z_i = z1
 
+    @classmethod
+    def resume(cls, pp: IVCParams, proof: "IVCProof", debug: bool = False) -> "RecursiveIVC":
+        """Rehydrate a live prover from a proof: the IVCProof carries the
+        prover's complete state (nova-snark's prove_step likewise resumes
+        from Option<RecursiveSNARK>, proof.rs:316,342-349).  Used by the
+        checkpoint/restore path (vdf_tpu/checkpoint.py)."""
+        self = cls.__new__(cls)
+        self.pp = pp
+        self.debug = debug
+        self.timer = PhaseTimer()
+        self.z0 = list(proof.z0)
+        self.i = proof.i
+        self.z_i = list(proof.z_i)
+        self.r_U_primary = proof.r_U_primary
+        self.r_W_primary = proof.r_W_primary
+        self.r_E_primary = proof.r_E_primary
+        self.r_U_secondary = proof.r_U_secondary
+        self.r_W_secondary = proof.r_W_secondary
+        self.r_E_secondary = proof.r_E_secondary
+        self.l_u_secondary = proof.l_u_secondary
+        self.l_w_secondary = proof.l_w_secondary
+        return self
+
     def _synth(self, side: Side, inp: AugmentedInputs):
         with self.timer.phase(f"synthesize/{side.field.params.name}"):
             cs, z_next = side.circuit.witness(inp, check=self.debug)
