@@ -37,10 +37,16 @@ from .params import (
 
 _BASE = 1 << LIMB_BITS
 
-# Max flat batch rows per compiled mul chunk on non-TPU backends (see
-# Field.mul): 2^14 is ~2.5x below the empirically-located XLA:CPU
-# miscompile onset (between 40000 and 49152 rows).
+# Max flat batch rows per compiled mul chunk (see Field.mul).  BOTH
+# backends miscompile the fused conv/resolve composite above a large-
+# batch threshold (each stage is exact in isolation; the fused whole
+# returns wrong limbs for every row):
+#   * XLA:CPU — onset between 40000 and 49152 rows (jax 0.9.0);
+#   * XLA:TPU (v5e) — onset between 32768 and 66122 rows.
+# Chunks sit well below each onset; lax.map over separately-jitted
+# chunks also keeps CPU compile out of simplifier fixpoint blowups.
 _CPU_SAFE_ROWS = 1 << 14
+_TPU_SAFE_ROWS = 1 << 15
 
 
 def _shift_limbs_up(v: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -281,34 +287,34 @@ class Field:
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product a*b*R^-1 mod p; result < 2p, canonical limbs.
 
-        Non-TPU backends process large batches in fixed-size chunks via
-        ``lax.map``: XLA:CPU (jax 0.9.0) deterministically MIScompiles the
-        big fused conv/reduce loops this op otherwise lowers to — wrong
-        limbs for every row once the flat batch exceeds ~40k rows
-        (verified empirically; onset is a cost-threshold, not a power of
-        two, so the chunk size keeps a wide margin).  Chunking also
-        sidesteps the algebraic-simplifier blowups that dominated CPU
+        Large batches are processed in fixed-size chunks via ``lax.map``
+        over a separately-jitted core: BOTH XLA backends MIScompile the
+        big fused conv/resolve composite above a batch threshold — wrong
+        limbs for every row, while each stage is exact in isolation (CPU
+        onset ~40k rows; TPU v5e onset between 32k and 66k; verified
+        empirically, see _CPU_SAFE_ROWS/_TPU_SAFE_ROWS).  Chunking also
+        sidesteps the XLA:CPU algebraic-simplifier blowups that dominated
         compile times.
         """
         shape = jnp.broadcast_shapes(a.shape, b.shape)
         rows = int(np.prod(shape[:-1], dtype=np.int64)) if len(shape) > 1 else 1
-        if jax.default_backend() == "tpu" or rows <= _CPU_SAFE_ROWS:
+        safe = (
+            _TPU_SAFE_ROWS if jax.default_backend() == "tpu" else _CPU_SAFE_ROWS
+        )
+        if rows <= safe:
             return self._mul_core(a, b)
         a = jnp.broadcast_to(a, shape).reshape(-1, NLIMBS)
         b = jnp.broadcast_to(b, shape).reshape(-1, NLIMBS)
-        k = -(-rows // _CPU_SAFE_ROWS)
-        pad = k * _CPU_SAFE_ROWS - rows
+        k = -(-rows // safe)
+        pad = k * safe - rows
         if pad:
             a = jnp.pad(a, ((0, pad), (0, 0)))
             b = jnp.pad(b, ((0, pad), (0, 0)))
         out = jax.lax.map(
             lambda ab: self._mul_core(ab[0], ab[1]),
-            (
-                a.reshape(k, _CPU_SAFE_ROWS, NLIMBS),
-                b.reshape(k, _CPU_SAFE_ROWS, NLIMBS),
-            ),
+            (a.reshape(k, safe, NLIMBS), b.reshape(k, safe, NLIMBS)),
         )
-        return out.reshape(k * _CPU_SAFE_ROWS, NLIMBS)[:rows].reshape(shape)
+        return out.reshape(k * safe, NLIMBS)[:rows].reshape(shape)
 
     def _mul_core(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """One-chunk Montgomery product (see ``mul``).
