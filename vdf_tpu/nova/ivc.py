@@ -354,10 +354,31 @@ class Side:
         _ = self.ck, self.dev_shape
 
     @functools.cached_property
+    def _commit_pad(self) -> int:
+        """Common padded length for every commit on this side, so ONE
+        Pippenger executable serves witness (num_aux), cross-term and
+        error (num_cons) commitments.  Inlining a commit into each of
+        _cross_fn/_sat_fn instead compiled the (compile-dominant) MSM
+        graph 3x per side — the round-3 TPU folding bench's 645s wall."""
+        return max(self.shape.num_aux, self.shape.num_cons)
+
+    @functools.cached_property
     def _commit_fn(self):
+        """(n_pad, 17) scalars -> commitment point.  Callers zero-pad to
+        ``_commit_pad`` (zero scalars contribute identity)."""
         jitted = jax.jit(lambda tables, w: self._commit_t(tables, w))
         tables = self._tables
-        return lambda w: jitted(tables, w)
+        pad = self._commit_pad
+
+        def run(w):
+            n = w.shape[0]
+            if n < pad:
+                w = jnp.concatenate(
+                    [w, jnp.zeros((pad - n, w.shape[1]), w.dtype)], axis=0
+                )
+            return jitted(tables, w)
+
+        return run
 
     def commit_ints(self, w_ints: list[int]):
         """-> (witness handle, affine commitment).  The handle is a jnp
@@ -380,19 +401,25 @@ class Side:
 
     @functools.cached_property
     def _cross_fn(self):
-        """(W1, w2, x1, u1, x2) -> (T, comm_T)."""
+        """(W1, w2, x1, u1, x2) -> (T, comm_T).  The commit runs through
+        the side's SINGLE shared Pippenger executable (_commit_fn), not
+        inlined here — see _commit_pad."""
         f = self.field
 
         def cross(tables, W1, w2, x1, u1, x2):
             one = jnp.asarray(f.one)
             z1 = self.dev_shape.z_vector(f, W1, x1, u1)
             z2 = self.dev_shape.z_vector(f, w2, x2, one)
-            t = self._cross_term_t(tables, z1, u1, z2, one)
-            return t, self._commit_t(tables, t)
+            return self._cross_term_t(tables, z1, u1, z2, one)
 
         jitted = jax.jit(cross)
         tables = self._tables
-        return lambda W1, w2, x1, u1, x2: jitted(tables, W1, w2, x1, u1, x2)
+
+        def run(W1, w2, x1, u1, x2):
+            t = jitted(tables, W1, w2, x1, u1, x2)
+            return t, self._commit_fn(t)
+
+        return run
 
     @functools.cached_property
     def _wfold_fn(self):
@@ -408,23 +435,32 @@ class Side:
 
     @functools.cached_property
     def _sat_fn(self):
-        """Relaxed satisfaction + commitment-opening check."""
+        """Relaxed satisfaction + commitment-opening check.  The two
+        commitment openings go through the shared Pippenger executable
+        (_commit_fn) instead of inlining two more MSM graphs here."""
         f = self.field
         c = get_curve(self.curve_name)
 
-        def sat(tables, W, E, x, u, comm_w_pt, comm_e_pt):
+        def sat(tables, W, E, x, u):
             z = self.dev_shape.z_vector(f, W, x, u)
             az, bz, cz = (self._matvec_t(m, z) for m in tables["mats"])
             lhs = f.mul(az, bz)
             rhs = f.add(f.mul(jnp.broadcast_to(u, cz.shape), cz), E)
-            ok = jnp.all(f.eq(lhs, rhs))
-            ok &= jnp.all(c.eq(self._commit_t(tables, W), comm_w_pt))
-            ok &= jnp.all(c.eq(self._commit_t(tables, E), comm_e_pt))
-            return ok
+            return jnp.all(f.eq(lhs, rhs))
 
         jitted = jax.jit(sat)
         tables = self._tables
-        return lambda *args: jitted(tables, *args)
+
+        def _eq_pt(a_pt, b_pt):
+            return bool(jax.device_get(jnp.all(c.eq(a_pt, b_pt))))
+
+        def run(W, E, x, u, comm_w_pt, comm_e_pt):
+            ok = bool(jax.device_get(jitted(tables, W, E, x, u)))
+            ok &= _eq_pt(self._commit_fn(W), comm_w_pt)
+            ok &= _eq_pt(self._commit_fn(E), comm_e_pt)
+            return ok
+
+        return run
 
     def check_sat(self, U, W, E) -> bool:
         comm_e = U.comm_e if isinstance(U, HostRelaxedInstance) else None
