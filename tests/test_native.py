@@ -59,6 +59,28 @@ class TestNativeMSM:
             "pallas", [(FP.modulus - 1, 2)], [0]
         )
         assert pts is None
+
+    @pytest.mark.parametrize("curve_name", ["pallas", "vesta"])
+    def test_fold_points_matches_int_curve(self, curve_name):
+        """out[i] = a*P[i] + b*Q[i] (the IPA generator fold) vs the exact
+        int-curve oracle."""
+        from vdf_tpu.curves import hash_to_curve_ints
+        from vdf_tpu.curves.int_ops import get_int_curve
+
+        ic = get_int_curve(curve_name)
+        n = 5
+        pts = hash_to_curve_ints(curve_name, 2 * n, domain=b"fold-test")
+        P, Q = pts[:n], pts[n:]
+        rng = random.Random(11)
+        q_mod = (FQ if curve_name == "pallas" else FP).modulus
+        a, b = rng.randrange(1, q_mod), rng.randrange(1, q_mod)
+        got = native.fold_points_native(curve_name, P, Q, a, b)
+        for i in range(n):
+            want = ic.add(
+                ic.scalar_mul(ic.from_affine(P[i]), a),
+                ic.scalar_mul(ic.from_affine(Q[i]), b),
+            )
+            assert got[i] == ic.to_affine(want)
 import pytest as _pytest
 
 pytestmark = _pytest.mark.slow  # heavy XLA compiles: slow CI lane

@@ -398,6 +398,86 @@ static void msm_run(const FieldCtx& base, const u64* points /*n*8 canonical*/,
   std::memcpy(out + 8, oz.v, 32);
 }
 
+// ------------------------------------------------------------------
+// batched two-term point fold: out[i] = a*P[i] + b*Q[i]
+// (the IPA prover's per-round generator fold — host-int tier)
+// ------------------------------------------------------------------
+
+static void pt_scalar_mul(const FieldCtx& f, const Pt& p, const u64* e,
+                          Pt& out) {
+  // MSB-first double-and-add over the significant bits of e.
+  int top = -1;
+  for (int bit = 255; bit >= 0; --bit) {
+    if ((e[bit / 64] >> (bit % 64)) & 1) {
+      top = bit;
+      break;
+    }
+  }
+  pt_identity(f, out);  // z == 0: the identity encoding
+  if (top < 0) return;
+  Pt acc = p;
+  for (int bit = top - 1; bit >= 0; --bit) {
+    pt_double(f, acc, acc);
+    if ((e[bit / 64] >> (bit % 64)) & 1) pt_add(f, acc, p, acc);
+  }
+  out = acc;
+}
+
+static void fold_points_run(const FieldCtx& base, const u64* pts_p,
+                            const u64* pts_q, const u64* sa, const u64* sb,
+                            u64 n, u64* out_affine, u64* id_flags) {
+  // Load + Montgomery-encode scalars' point operands; fold per point.
+  std::vector<Pt> acc(n);
+  for (u64 i = 0; i < n; ++i) {
+    Fe px = {{pts_p[i * 8 + 0], pts_p[i * 8 + 1], pts_p[i * 8 + 2], pts_p[i * 8 + 3]}};
+    Fe py = {{pts_p[i * 8 + 4], pts_p[i * 8 + 5], pts_p[i * 8 + 6], pts_p[i * 8 + 7]}};
+    Fe qx = {{pts_q[i * 8 + 0], pts_q[i * 8 + 1], pts_q[i * 8 + 2], pts_q[i * 8 + 3]}};
+    Fe qy = {{pts_q[i * 8 + 4], pts_q[i * 8 + 5], pts_q[i * 8 + 6], pts_q[i * 8 + 7]}};
+    to_mont(base, px, px);
+    to_mont(base, py, py);
+    to_mont(base, qx, qx);
+    to_mont(base, qy, qy);
+    Pt P, Q, ta, tb;
+    P.x = px; P.y = py; std::memcpy(P.z.v, base.one, 32);
+    Q.x = qx; Q.y = qy; std::memcpy(Q.z.v, base.one, 32);
+    pt_scalar_mul(base, P, sa, ta);
+    pt_scalar_mul(base, Q, sb, tb);
+    pt_add(base, ta, tb, acc[i]);
+  }
+  // Batch-normalize to affine: one inversion via prefix products.
+  std::vector<Fe> prefix(n);
+  Fe run;
+  std::memcpy(run.v, base.one, 32);
+  for (u64 i = 0; i < n; ++i) {
+    prefix[i] = run;
+    if (!fe_is_zero(acc[i].z)) fe_mul(base, run, acc[i].z, run);
+  }
+  // run = prod of nonzero z; invert by Fermat (e = p - 2).
+  u64 pm2[4] = {base.p[0] - 2, base.p[1], base.p[2], base.p[3]};  // p odd, no borrow
+  Fe inv_run;
+  fe_pow(base, run, pm2, inv_run);
+  for (u64 i = n; i-- > 0;) {
+    if (fe_is_zero(acc[i].z)) {
+      id_flags[i] = 1;
+      std::memset(out_affine + i * 8, 0, 64);
+      continue;
+    }
+    id_flags[i] = 0;
+    Fe zinv;
+    fe_mul(base, inv_run, prefix[i], zinv);   // 1 / z_i (others cancel)
+    fe_mul(base, inv_run, acc[i].z, inv_run); // strip z_i from the running inverse
+    Fe zi2, zi3, ax, ay;
+    fe_sqr(base, zinv, zi2);
+    fe_mul(base, zi2, zinv, zi3);
+    fe_mul(base, acc[i].x, zi2, ax);
+    fe_mul(base, acc[i].y, zi3, ay);
+    from_mont(base, ax, ax);
+    from_mont(base, ay, ay);
+    std::memcpy(out_affine + i * 8 + 0, ax.v, 32);
+    std::memcpy(out_affine + i * 8 + 4, ay.v, 32);
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -445,6 +525,15 @@ void msm_native(int curve, const u64* points, const u64* scalars, u64 n,
                 u64* out) {
   const FieldCtx& base = curve ? FQ_CTX : FP_CTX;
   msm_run(base, points, scalars, n, out);
+}
+
+// out[i] = a*P[i] + b*Q[i] for all i; affine canonical in/out (n*8 u64);
+// id_flags[i] = 1 marks an identity result (out row zeroed).
+void fold_points_native(int curve, const u64* pts_p, const u64* pts_q,
+                        const u64* sa, const u64* sb, u64 n, u64* out,
+                        u64* id_flags) {
+  const FieldCtx& base = curve ? FQ_CTX : FP_CTX;
+  fold_points_run(base, pts_p, pts_q, sa, sb, n, out, id_flags);
 }
 
 }  // extern "C"
