@@ -38,6 +38,13 @@ import jax.numpy as jnp
 from ..curves import get_curve
 from ..fields import Field
 from ..poseidon import Transcript
+from ..poseidon.int_poseidon import IntTranscript
+from ..spartan.host import (
+    host_spartan_prove,
+    host_spartan_verify,
+    spartan_from_device,
+    spartan_to_device,
+)
 from ..spartan.snark import SpartanProof, spartan_prove, spartan_verify
 from .ivc import (
     HostInstance,
@@ -98,6 +105,46 @@ def _spartan_transcript(side: Side, digest: int) -> Transcript:
     return tr
 
 
+def _spartan_transcript_ints(side: Side, digest: int) -> IntTranscript:
+    """Int twin of _spartan_transcript (bit-identical framing)."""
+    tr = IntTranscript(side.field.params.name)
+    tr.absorb(digest)
+    tr.flush()
+    return tr
+
+
+def _prove_side(side: Side, digest: int, U: HostRelaxedInstance, W, E) -> SpartanProof:
+    """Route one Spartan argument to the side's plane: device tier on
+    TPU, host-int tier (native C++ MSM) otherwise.  Both emit the same
+    canonical proof — the tiers are transcript-bit-compatible."""
+    if side.use_device:
+        return spartan_prove(
+            _SpartanCtx.of(side),
+            _encode_relaxed(side, U),
+            _encode_witness(side, W, E),
+            _spartan_transcript(side, digest),
+        )
+    f = side.field
+    W_ints = W if isinstance(W, list) else f.decode(W)
+    E_ints = E if isinstance(E, list) else f.decode(E)
+    hp = host_spartan_prove(side, U, W_ints, E_ints, _spartan_transcript_ints(side, digest))
+    return spartan_to_device(side, hp)
+
+
+def _verify_side(side: Side, digest: int, U: HostRelaxedInstance, sp: SpartanProof) -> bool:
+    if side.use_device:
+        ok = spartan_verify(
+            _SpartanCtx.of(side),
+            _encode_relaxed(side, U),
+            sp,
+            _spartan_transcript(side, digest),
+        )
+        return bool(jax.device_get(ok))
+    return host_spartan_verify(
+        side, U, spartan_from_device(side, sp), _spartan_transcript_ints(side, digest)
+    )
+
+
 @dataclasses.dataclass
 class CompressedIVCProof:
     """Constant-size proof: three instances + one cross-term commitment
@@ -130,22 +177,12 @@ def ivc_compress(pp: IVCParams, proof: IVCProof) -> CompressedIVCProof:
         proof.l_w_secondary,
     )
 
-    # 2. Spartan arguments over the two final relaxed instances.
-    ctx_p = _SpartanCtx.of(pp.primary)
-    sp_p = spartan_prove(
-        ctx_p,
-        _encode_relaxed(pp.primary, proof.r_U_primary),
-        _encode_witness(pp.primary, proof.r_W_primary, proof.r_E_primary),
-        _spartan_transcript(pp.primary, d),
+    # 2. Spartan arguments over the two final relaxed instances (each
+    # routed to its side's plane: device on TPU, host-int otherwise).
+    sp_p = _prove_side(
+        pp.primary, d, proof.r_U_primary, proof.r_W_primary, proof.r_E_primary
     )
-
-    ctx_s = _SpartanCtx.of(pp.secondary)
-    sp_s = spartan_prove(
-        ctx_s,
-        _encode_relaxed(pp.secondary, U_sec_fin),
-        _encode_witness(pp.secondary, W_sec_fin, E_sec_fin),
-        _spartan_transcript(pp.secondary, d),
-    )
+    sp_s = _prove_side(pp.secondary, d, U_sec_fin, W_sec_fin, E_sec_fin)
 
     return CompressedIVCProof(
         proof.i,
@@ -200,16 +237,6 @@ def ivc_verify_compressed(
         proof.r_U_secondary, proof.l_u_secondary, proof.comm_t_final, r
     )
 
-    ok_p = spartan_verify(
-        _SpartanCtx.of(pp.primary),
-        _encode_relaxed(pp.primary, proof.r_U_primary),
-        proof.spartan_primary,
-        _spartan_transcript(pp.primary, d),
-    )
-    ok_s = spartan_verify(
-        _SpartanCtx.of(pp.secondary),
-        _encode_relaxed(pp.secondary, U_sec_fin),
-        proof.spartan_secondary,
-        _spartan_transcript(pp.secondary, d),
-    )
-    return bool(jax.device_get(ok_p)) and bool(jax.device_get(ok_s))
+    ok_p = _verify_side(pp.primary, d, proof.r_U_primary, proof.spartan_primary)
+    ok_s = _verify_side(pp.secondary, d, U_sec_fin, proof.spartan_secondary)
+    return ok_p and ok_s
