@@ -1,16 +1,18 @@
 """Benchmark driver: one JSON line for the round harness.
 
-Flagship metric (round 1): aggregate MinRoot iterations/sec across
-lane-batched VDF evaluation on the available accelerator (the driver
-runs this on one real TPU chip).
+Headline metric (round 3+): **Nova folding steps/sec** on the two-curve
+IVC engine — the BASELINE north star ("≥10x aggregate folding-steps/s
+vs the Rust reference on one host").  vs_baseline = the host-plane
+engine (native C++ Pippenger MSM + int matvec on this box — the same
+acceleration tier the reference gets from pasta-msm, Cargo.toml:18) on
+the identical workload.
 
-vs_baseline compares against the reference's workload — one sequential
-chain on a CPU core — measured LIVE with this repo's native C++
-evaluator (vdf_tpu/native, the same 4x64 Montgomery arithmetic a Rust
-build uses; the reference publishes no numbers, BASELINE.md).  Falls
-back to a documented 1e5 iters/s estimate if the native build fails.
-The reference cannot batch lanes; aggregate throughput is the honest
-apples-to-apples capability comparison (BASELINE.json config 4).
+The single output line also carries the two component metrics in
+``detail``: aggregate MinRoot iterations/sec (lane-batched fused Pallas
+kernel vs the measured native C++ single-chain evaluator — the r01/r02
+headline) and Pippenger MSM points/sec/chip.  Component sections are
+fail-soft: an exception is recorded in detail rather than killing the
+bench.  Subcommands --folding / --msm still run each section alone.
 """
 
 from __future__ import annotations
@@ -73,7 +75,7 @@ def _ivc_steps_per_sec(t: int, n: int, engine: str) -> tuple[float, bool]:
     return (n - 2) / dt, ok
 
 
-def bench_folding(args):
+def _folding_result(args) -> dict:
     """Nova IVC folding steps/sec (BASELINE config 2/3): two augmented-
     circuit witness syntheses + two Pedersen commits + two NIFS folds per
     step on the two-curve engine.  vs_baseline = the host-plane (native
@@ -81,10 +83,8 @@ def bench_folding(args):
     reference's own acceleration tier (pasta-msm, Cargo.toml:18)."""
     import jax
 
-    jax = _jax_setup(args)
-
     t = args.iters or (2 if args.smoke else 32)
-    n = args.steps or (4 if args.smoke else 12)
+    n = args.steps or (4 if args.smoke else 8)
     engine = "native" if args.smoke else "auto"
 
     sweep = [(t, n)] if not args.sweep else [(10, 200), (100, 20), (1000, 2)]
@@ -101,7 +101,7 @@ def bench_folding(args):
     from vdf_tpu.nova.ivc import ivc_public_params
 
     pp = ivc_public_params(t_i, engine=engine)
-    result = {
+    return {
         "metric": "nova_folding_steps_per_sec",
         "value": round(sps, 3),
         "unit": "folds/s",
@@ -121,18 +121,20 @@ def bench_folding(args):
             ],
         },
     }
-    print(json.dumps(result))
 
 
-def bench_msm(args):
+def bench_folding(args):
+    _jax_setup(args)
+    print(json.dumps(_folding_result(args)))
+
+
+def _msm_result(args) -> dict:
     """Pippenger MSM points/sec/chip (BASELINE metric 3 / config 5).
 
     Correctness-gated against the native C++ Pippenger oracle at a
     smaller size, then timed at the target size (default 2^20 points on
     TPU, 2^14 in smoke)."""
     import jax
-
-    jax = _jax_setup(args)
     import numpy as np
 
     from vdf_tpu.curves import get_curve
@@ -171,14 +173,18 @@ def bench_msm(args):
     if want is not None:
         assert got_aff == want, "MSM bench correctness gate failed"
 
-    # native baseline points/s (same oracle, measured)
+    # native baseline points/s: warmed, and at the largest size that
+    # fits the time budget (Pippenger throughput grows with n, so a
+    # small-n baseline would inflate the reported speedup).
     base_pps = None
+    n_base = min(n, 1 << 12 if args.smoke else 1 << 16)
     try:
         from vdf_tpu.native import msm_native
 
+        msm_native("pallas", aff[:256], scal_ints[:256])  # warm/build
         t0 = time.perf_counter()
-        msm_native("pallas", aff[:n_check], scal_ints[:n_check])
-        base_pps = n_check / (time.perf_counter() - t0)
+        msm_native("pallas", aff[:n_base], scal_ints[:n_base])
+        base_pps = n_base / (time.perf_counter() - t0)
     except Exception:
         pass
 
@@ -192,7 +198,7 @@ def bench_msm(args):
     dt = (time.perf_counter() - t0) / reps
 
     pps = n / dt
-    result = {
+    return {
         "metric": "msm_points_per_sec_per_chip",
         "value": round(pps, 1),
         "unit": "points/s",
@@ -202,49 +208,21 @@ def bench_msm(args):
             "wall_seconds": round(dt, 3),
             "oracle_checked_at": n_check if want is not None else None,
             "baseline_points_per_sec": round(base_pps, 1) if base_pps else None,
-            "baseline_note": "native C++ Pippenger (pasta-msm equivalent), measured",
+            "baseline_points": n_base,
+            "baseline_note": "native C++ Pippenger (pasta-msm equivalent), "
+            + ("measured at same n" if n_base == n else f"measured at n={n_base} (cross-size)"),
             "backend": jax.devices()[0].platform,
         },
     }
-    print(json.dumps(result))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--smoke", action="store_true", help="small CPU-friendly shapes")
-    ap.add_argument("--lanes", type=int, default=None)
-    ap.add_argument("--iters", type=int, default=None)
-    ap.add_argument("--mode", default="ltr_sequential")
-    ap.add_argument(
-        "--xla-path",
-        action="store_true",
-        help="bench the pure-XLA scan path instead of the fused Pallas kernel",
-    )
-    ap.add_argument(
-        "--folding",
-        action="store_true",
-        help="bench Nova folding steps/sec instead of raw VDF throughput",
-    )
-    ap.add_argument(
-        "--msm",
-        action="store_true",
-        help="bench Pippenger MSM points/sec/chip (BASELINE metric 3)",
-    )
-    ap.add_argument("--points", type=int, default=None, help="MSM size")
-    ap.add_argument("--steps", type=int, default=None, help="IVC steps for --folding")
-    ap.add_argument(
-        "--sweep",
-        action="store_true",
-        help="run the reference (t,n) sweep {(10,200),(100,20),(1000,2)} (benches/nova.rs:62-66)",
-    )
-    args = ap.parse_args()
+def bench_msm(args):
+    _jax_setup(args)
+    print(json.dumps(_msm_result(args)))
 
-    if args.folding:
-        return bench_folding(args)
-    if args.msm:
-        return bench_msm(args)
 
-    jax = _jax_setup(args)
+def _minroot_result(args) -> dict:
+    import jax
 
     from vdf_tpu.minroot import EvalMode, State, pallas_vdf
 
@@ -326,7 +304,7 @@ def main():
     dt_v = time.perf_counter() - t0
     verify_iters_per_sec = lanes * t / dt_v
 
-    result = {
+    return {
         "metric": "minroot_aggregate_iters_per_sec",
         "value": round(iters_per_sec, 1),
         "unit": "vdf_iters/s",
@@ -346,7 +324,107 @@ def main():
             "verify_wall_seconds": round(dt_v, 3),
         },
     }
+
+
+def bench_minroot(args):
+    _jax_setup(args)
+    print(json.dumps(_minroot_result(args)))
+
+
+def bench_default(args):
+    """The driver's `python bench.py`: ONE JSON line, headline = the
+    BASELINE north-star (Nova folding steps/sec vs the native host
+    plane), with the MinRoot and MSM component metrics in detail.
+    Component sections are fail-soft so a partial bench still reports."""
+    _jax_setup(args)
+    import time as _time
+
+    walls = {}
+
+    def section(name, fn):
+        t0 = _time.perf_counter()
+        try:
+            out = fn(args)
+        except Exception as exc:  # fail-soft: record, keep benching
+            out = {"error": f"{type(exc).__name__}: {exc}"}
+        walls[name] = round(_time.perf_counter() - t0, 1)
+        return out
+
+    minroot = section("minroot", _minroot_result)
+    folding = section("folding", _folding_result)
+    msm = section("msm", _msm_result)
+
+    if "error" not in folding:
+        result = dict(folding)
+    else:  # folding failed: fall back to the minroot headline
+        result = dict(minroot) if "error" not in minroot else {
+            "metric": "bench_failed",
+            "value": 0,
+            "unit": "",
+            "vs_baseline": 0,
+            "detail": {},
+        }
+        result["detail"] = dict(result.get("detail", {}))
+        result["detail"]["folding_error"] = folding["error"]
+    detail = dict(result["detail"])
+    for name, sub in (("minroot", minroot), ("msm", msm)):
+        if sub is not result and "error" not in sub:
+            detail[name] = {
+                "metric": sub["metric"],
+                "value": sub["value"],
+                "unit": sub["unit"],
+                "vs_baseline": sub["vs_baseline"],
+                "detail": sub["detail"],
+            }
+        elif "error" in sub:
+            detail[f"{name}_error"] = sub["error"]
+    detail["section_wall_seconds"] = walls
+    result["detail"] = detail
     print(json.dumps(result))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="small CPU-friendly shapes")
+    ap.add_argument("--lanes", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--mode", default="ltr_sequential")
+    ap.add_argument(
+        "--xla-path",
+        action="store_true",
+        help="bench the pure-XLA scan path instead of the fused Pallas kernel",
+    )
+    ap.add_argument(
+        "--minroot",
+        action="store_true",
+        help="bench raw VDF throughput only (the r01/r02 headline)",
+    )
+    ap.add_argument(
+        "--folding",
+        action="store_true",
+        help="bench Nova folding steps/sec only",
+    )
+    ap.add_argument(
+        "--msm",
+        action="store_true",
+        help="bench Pippenger MSM points/sec/chip only (BASELINE metric 3)",
+    )
+    ap.add_argument("--points", type=int, default=None, help="MSM size")
+    ap.add_argument("--steps", type=int, default=None, help="IVC steps for --folding")
+    ap.add_argument(
+        "--sweep",
+        action="store_true",
+        help="run the reference (t,n) sweep {(10,200),(100,20),(1000,2)} (benches/nova.rs:62-66)",
+    )
+    args = ap.parse_args()
+
+    if args.folding:
+        return bench_folding(args)
+    if args.msm:
+        return bench_msm(args)
+    if args.minroot:
+        return bench_minroot(args)
+    return bench_default(args)
 
 
 if __name__ == "__main__":
