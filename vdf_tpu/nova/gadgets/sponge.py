@@ -37,10 +37,23 @@ def permute_gadget(cs, field_name: str, state: list, name: str = "pos") -> list:
     r_p = partial_rounds(width)
     half = FULL_ROUNDS // 2
 
+    # The linear layers (round constants + MDS mix) are free LCs in the
+    # shape pass, but their LC dicts are pure overhead in the witness
+    # pass: only enforce() consumes LCs, and it is a no-op when
+    # check=False.  Skipping them there cut augmented-circuit witness
+    # synthesis ~4x (the folds/s wall -- the transcript gadgets dominate
+    # the per-step host work).  check=True (TestConstraintSystem mode)
+    # keeps full LCs so debug satisfiability still sees every row.
+    values_only = _is_witness(cs) and not getattr(cs, "check", False)
+    _empty = LinearCombination()
+
     def add_rc(s: list, r: int) -> list:
         out = []
         for j, el in enumerate(s):
             k = rc[r][j]
+            if values_only:
+                out.append(Num(_empty, cs.field.add(el.value, k)))
+                continue
             value = None
             if _is_witness(cs):
                 value = cs.field.add(el.value, k)
@@ -49,6 +62,17 @@ def permute_gadget(cs, field_name: str, state: list, name: str = "pos") -> list:
 
     def mds_mul(s: list) -> list:
         out = []
+        if values_only:
+            f = cs.field
+            mod = f.params.modulus
+            vals = [el.value for el in s]
+            for i in range(width):
+                row = mds[i]
+                value = 0
+                for j in range(width):
+                    value = f.add(value, f.mul(vals[j], row[j] % mod))
+                out.append(Num(_empty, value))
+            return out
         lcs = [el.lc() for el in s]
         for i in range(width):
             # single-dict accumulation: avoids width copies of growing

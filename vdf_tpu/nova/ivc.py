@@ -156,14 +156,17 @@ class HostPlane:
         from ..curves.point import hash_to_curve_ints
 
         self.gens = hash_to_curve_ints(curve_name, n + 1, domain=b"vdf_tpu/ck")[:n]
+        self._gens_packed = None  # lazy: packed u64 buffer, reused per commit
 
     def _msm(self, scalars: list[int]) -> tuple | None:
-        from ..native import msm_native
+        from ..native import msm_native_packed, pack_points_u64, pack_scalars_u64
 
-        nz = [(s, g) for s, g in zip(scalars, self.gens) if s]
-        if not nz:
-            return None
-        out = msm_native(self.curve_name, [g for _, g in nz], [s for s, _ in nz])
+        if self._gens_packed is None:
+            self._gens_packed = pack_points_u64(self.gens)
+        # zero scalars are skipped inside the kernel; no host-side filter
+        out = msm_native_packed(
+            self.curve_name, self._gens_packed, pack_scalars_u64(scalars)
+        )
         if out is None:
             return None
         x, y, z = out  # Jacobian
