@@ -304,21 +304,10 @@ def _minroot_eval_kernel(field_name: str, t: int, digits: np.ndarray):
     return kernel
 
 
-@functools.lru_cache(maxsize=16)
-def minroot_eval_tpu(
-    field_name: str, t: int, block_sublanes: int = 8, interpret: bool = False
-):
-    """Compiled fused eval: (x, y, i) limb12 arrays (22, S, 128) -> same.
-
-    S (total sublanes) must be a multiple of block_sublanes; the grid
-    tiles the lane batch.  Lanes per call = S * 128.  ``interpret=True``
-    runs the kernel in the Pallas interpreter (CPU test path).
-    """
-    from .params import FP, FQ
-
-    P = {"Fp": FP, "Fq": FQ}[field_name]
-    digits = _window_digits(P.inv_alpha)
-    kernel = _minroot_eval_kernel(field_name, t, digits)
+def _eval_launch(kernel, digits: np.ndarray, block_sublanes: int, interpret: bool):
+    """The eval-side pallas_call plumbing (grid/BlockSpec/scalar-prefetch/
+    VMEM scratch), shared by the real kernel and the CI smoke surrogate
+    (tests/test_fused_interpret.py) so wrapper regressions fail off-TPU."""
     bs = block_sublanes
 
     def run(x, y, i):
@@ -344,6 +333,24 @@ def minroot_eval_tpu(
         )(jnp.asarray(digits), x, y, i)
 
     return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=16)
+def minroot_eval_tpu(
+    field_name: str, t: int, block_sublanes: int = 8, interpret: bool = False
+):
+    """Compiled fused eval: (x, y, i) limb12 arrays (22, S, 128) -> same.
+
+    S (total sublanes) must be a multiple of block_sublanes; the grid
+    tiles the lane batch.  Lanes per call = S * 128.  ``interpret=True``
+    runs the kernel in the Pallas interpreter (CPU test path).
+    """
+    from .params import FP, FQ
+
+    P = {"Fp": FP, "Fq": FQ}[field_name]
+    digits = _window_digits(P.inv_alpha)
+    kernel = _minroot_eval_kernel(field_name, t, digits)
+    return _eval_launch(kernel, digits, block_sublanes, interpret)
 
 
 def _minroot_inverse_kernel(field_name: str, t: int):
@@ -382,13 +389,9 @@ def _minroot_inverse_kernel(field_name: str, t: int):
     return kernel
 
 
-@functools.lru_cache(maxsize=16)
-def minroot_inverse_tpu(
-    field_name: str, t: int, block_sublanes: int = 8, interpret: bool = False
-):
-    """Compiled fused inverse eval (verify): (x, y, i) limb12 arrays
-    (22, S, 128) -> same, walking the chain backward t rounds."""
-    kernel = _minroot_inverse_kernel(field_name, t)
+def _inverse_launch(kernel, block_sublanes: int, interpret: bool):
+    """The inverse-side pallas_call plumbing, shared by the real kernel
+    and the CI smoke surrogate (tests/test_fused_interpret.py)."""
     bs = block_sublanes
 
     def run(x, y, i):
@@ -408,6 +411,16 @@ def minroot_inverse_tpu(
         )(x, y, i)
 
     return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=16)
+def minroot_inverse_tpu(
+    field_name: str, t: int, block_sublanes: int = 8, interpret: bool = False
+):
+    """Compiled fused inverse eval (verify): (x, y, i) limb12 arrays
+    (22, S, 128) -> same, walking the chain backward t rounds."""
+    kernel = _minroot_inverse_kernel(field_name, t)
+    return _inverse_launch(kernel, block_sublanes, interpret)
 
 
 # ----------------------------------------------------------------------
