@@ -17,6 +17,7 @@ from .ivc import (
     ivc_verify,
 )
 from .compressed import CompressedIVCProof, ivc_compress, ivc_verify_compressed
+from .pipeline import StatementProof, VDFStatement, prove_stream
 
 __all__ = [
     "InverseMinRootCircuit",
@@ -42,4 +43,7 @@ __all__ = [
     "CompressedIVCProof",
     "ivc_compress",
     "ivc_verify_compressed",
+    "StatementProof",
+    "VDFStatement",
+    "prove_stream",
 ]

@@ -5,15 +5,21 @@ API mirrors the reference (/root/reference/src/nova/proof.rs:232-392):
 ``verify``, with the same segment-reversal convention (circuits walk the
 inverse direction from the final result back to the initial state).
 
-Proof structure this round: the prover folds every per-segment step
-instance into one running relaxed R1CS instance (all device math:
-witness synthesis, Pedersen MSM commits, cross-term matvecs).  The
-verifier replays the Poseidon transcript to re-derive every fold
-challenge, checks public-IO chaining across segments, and checks the
-final folded relaxed instance directly against its witness.  This is
-sound by Nova's folding theorem; wrapping the per-step fold check into
-the augmented circuit (for O(1) verification) and Spartan compression
-of the final witness check are the staged next layers.
+This module is the framework's **transparent tier**: the prover folds
+every per-segment step instance into one running relaxed R1CS instance
+(all device math: witness synthesis, Pedersen MSM commits, cross-term
+matvecs), and the verifier replays the Poseidon transcript to
+re-derive every fold challenge, checks public-IO chaining across
+segments, and checks the final folded relaxed instance directly
+against its witness — sound by Nova's folding theorem, but O(n)
+verification (a transcript replay per fold) with no augmented circuit.
+
+The flagship engine is ``nova/ivc.py``: the two-curve augmented-circuit
+IVC with O(1)-size proofs and O(1) verification (plus ``nova/
+compressed.py`` for constant-size Spartan+IPA compression).  Keep this
+tier when the verifier is trusted with linear work and the in-circuit
+fold-verifier's ~10^4 extra constraints per step are not wanted —
+e.g. short chains, debugging, and the row-sharded matvec dryrun.
 """
 
 from __future__ import annotations
