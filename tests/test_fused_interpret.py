@@ -92,7 +92,6 @@ def test_inverse_kernel_interpret_full():
 
     vdf = pallas_vdf()
     f = vdf.field
-    p = f.params.modulus
     s0 = State(f.encode([3, 7]), f.encode([5] * 2), f.encode([9] * 2))
     fwd = vdf.round(s0)
     back = inverse_eval_fused(vdf, fwd, t=1, block_sublanes=8, interpret=True)

@@ -220,11 +220,16 @@ class AugmentedCircuit:
     def witness(self, inp: AugmentedInputs, check: bool = False):
         """Returns (cs, z_next ints).  cs.aux is the witness (host ints);
         cs.inputs the two public IO values."""
+        from ..r1cs.cs import lc_sink
         from ..r1cs.witness import WitnessCS
 
         f = get_int_field(self.field_name)
         cs = WitnessCS(f, inputs=[], check=check)
-        z_next = self.synthesize(cs, inp)
+        # check=False never reads a constraint: route LC building to the
+        # no-op sink (r1cs/cs.py::lc_sink) — synthesis is the per-fold
+        # host wall (VERDICT r3 #1).
+        with lc_sink(not check):
+            z_next = self.synthesize(cs, inp)
         return cs, z_next
 
 

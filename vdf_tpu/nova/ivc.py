@@ -359,19 +359,45 @@ class Side:
     @functools.cached_property
     def _commit_pad(self) -> int:
         """Common padded length for every commit on this side, so ONE
-        Pippenger executable serves witness (num_aux), cross-term and
-        error (num_cons) commitments.  Inlining a commit into each of
+        executable serves witness (num_aux), cross-term and error
+        (num_cons) commitments.  Inlining a commit into each of
         _cross_fn/_sat_fn instead compiled the (compile-dominant) MSM
-        graph 3x per side — the round-3 TPU folding bench's 645s wall."""
-        return max(self.shape.num_aux, self.shape.num_cons)
+        graph 3x per side — the round-3 TPU folding bench's 645s wall.
+        Padded to the commitment key's power-of-two length so the
+        fixed-base Pallas path shares ONE pre-shifted generator table."""
+        n = max(self.shape.num_aux, self.shape.num_cons)
+        return 1 << (n - 1).bit_length()
+
+    @functools.cached_property
+    def _use_pallas_commit(self) -> bool:
+        """Fixed-base Pallas commits on a real TPU (single-chip path);
+        the mesh/TP path keeps the shard-mapped XLA Pippenger."""
+        return (
+            self.use_device
+            and not self._use_tp
+            and jax.default_backend() == "tpu"
+        )
 
     @functools.cached_property
     def _commit_fn(self):
         """(n_pad, 17) scalars -> commitment point.  Callers zero-pad to
         ``_commit_pad`` (zero scalars contribute identity)."""
+        pad = self._commit_pad
+        if self._use_pallas_commit:
+            from ..curves.pallas_msm import commit_pallas
+
+            def run_pallas(w):
+                n = w.shape[0]
+                if n < pad:
+                    w = jnp.concatenate(
+                        [w, jnp.zeros((pad - n, w.shape[1]), w.dtype)], axis=0
+                    )
+                return commit_pallas(self.curve_name, w)
+
+            return run_pallas
+
         jitted = jax.jit(lambda tables, w: self._commit_t(tables, w))
         tables = self._tables
-        pad = self._commit_pad
 
         def run(w):
             n = w.shape[0]

@@ -43,6 +43,13 @@ class VDFStatement:
     start: tuple[int, int, int]  # (x, y, i) as canonical ints
     num_steps: int
 
+    def __post_init__(self):
+        # Mirror the reference's assert num_steps > 0
+        # (/root/reference/src/nova/proof.rs:268): a zero-step statement
+        # would otherwise come back silently as verified=False.
+        if self.num_steps < 1:
+            raise ValueError("VDFStatement.num_steps must be >= 1")
+
 
 @dataclasses.dataclass
 class StatementProof:
@@ -106,27 +113,54 @@ def prove_stream(
 
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     err: list[BaseException] = []
+    consumer_dead = threading.Event()
 
     def stage_e():
         try:
             for stmt in statements:
-                q.put((stmt, *_eval_statement(pp, vdf, stmt)))
+                item = (stmt, *_eval_statement(pp, vdf, stmt))
+                # bounded put that notices a dead consumer: otherwise a
+                # consumer failure leaks this thread blocked on q.put
+                # forever (advisor r3)
+                while not consumer_dead.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if consumer_dead.is_set():
+                    return
         except BaseException as exc:  # surface in the consumer
             err.append(exc)
         finally:
-            q.put(None)
+            while True:
+                try:
+                    q.put(None, timeout=0.2)
+                    break
+                except queue.Full:
+                    if consumer_dead.is_set():
+                        break
 
     th = threading.Thread(target=stage_e, name="vdf-eval-stage", daemon=True)
     th.start()
     out = []
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        stmt, z0, dt_e = item
-        proof, ok, dt_f = _fold_statement(pp, stmt, z0)
-        out.append(StatementProof(stmt, z0, proof, ok, dt_e, dt_f))
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            stmt, z0, dt_e = item
+            proof, ok, dt_f = _fold_statement(pp, stmt, z0)
+            out.append(StatementProof(stmt, z0, proof, ok, dt_e, dt_f))
+    except BaseException as exc:
+        consumer_dead.set()
+        th.join()
+        # attach partial progress so a proving service can resume from
+        # the failed statement (advisor r3)
+        exc.partial_proofs = out
+        raise
     th.join()
     if err:
+        err[0].partial_proofs = out
         raise err[0]
     return out

@@ -61,6 +61,10 @@ class AllocatedBit:
 
 def bits_to_lc(bits: list[AllocatedBit], n: int | None = None) -> LinearCombination:
     """Little-endian recombination sum(2^i * b_i) as a free LC."""
+    from .cs import LC_DISABLED, NULL_LC
+
+    if LC_DISABLED:
+        return NULL_LC
     lc = LinearCombination()
     for i, b in enumerate(bits[: n if n is not None else len(bits)]):
         lc = lc + b.lc(1 << i)

@@ -36,6 +36,61 @@ class Variable(NamedTuple):
 ONE = Variable("input", 0)
 
 
+class _NullLC:
+    """Absorbing no-op linear combination, used when LCs are pure
+    overhead: the value-only witness pass (check=False) never reads a
+    constraint, so every LC op collapses to this singleton.  Enabled via
+    ``lc_sink`` by the witness synthesizers (nova/augmented.py,
+    nova/circuit.py); cut augmented witness synthesis ~2x on top of the
+    sponge-local fast path."""
+
+    __slots__ = ()
+    terms: dict = {}
+
+    def add(self, var, coeff: int = 1) -> "_NullLC":
+        return self
+
+    def __add__(self, other) -> "_NullLC":
+        return self
+
+    def __radd__(self, other) -> "_NullLC":
+        return self
+
+    def __sub__(self, other) -> "_NullLC":
+        return self
+
+    def __rsub__(self, other) -> "_NullLC":
+        return self
+
+    def scale(self, k: int) -> "_NullLC":
+        return self
+
+
+NULL_LC = _NullLC()
+LC_DISABLED = False
+
+
+class _LCSink:
+    def __init__(self, disabled: bool):
+        self.disabled = disabled
+
+    def __enter__(self):
+        global LC_DISABLED
+        self.prev = LC_DISABLED
+        LC_DISABLED = self.disabled
+        return self
+
+    def __exit__(self, *a):
+        global LC_DISABLED
+        LC_DISABLED = self.prev
+
+
+def lc_sink(disabled: bool = True) -> "_LCSink":
+    """Context manager: route every ``LinearCombination.of`` to NULL_LC
+    (value-only witness synthesis; see _NullLC)."""
+    return _LCSink(disabled)
+
+
 class LinearCombination:
     """Sparse integer-coefficient combination of variables."""
 
@@ -45,7 +100,9 @@ class LinearCombination:
         self.terms: dict[Variable, int] = dict(terms or {})
 
     @classmethod
-    def of(cls, var: Variable, coeff: int = 1) -> "LinearCombination":
+    def of(cls, var: Variable, coeff: int = 1):
+        if LC_DISABLED:
+            return NULL_LC
         return cls({var: coeff})
 
     def add(self, var: Variable, coeff: int = 1) -> "LinearCombination":
