@@ -617,14 +617,23 @@ def _commit_pallas_jit(curve_name: str, lanes: int):
     # gens12 is a jit ARGUMENT, never a closure: captured concrete arrays
     # become XLA constants and constant-folding multi-MB literals wedges
     # the compile (the round-2 lesson, see nova/ivc.py::Side._tables).
-    return jax.jit(
-        lambda gens12, scalars: commit_pallas_traceable(curve, gens12, scalars, lanes)
-    )
+    # The canonical (non-Montgomery) coordinate stack rides along in the
+    # same executable: the host needs it for the Fiat–Shamir transcript,
+    # and a separate decode dispatch costs ~10 ms of tunnel RPC.
+    def run(gens12, scalars):
+        pt = commit_pallas_traceable(curve, gens12, scalars, lanes)
+        canon = curve.field.from_mont(jnp.stack(list(pt)))
+        return pt, canon
+
+    return jax.jit(run)
 
 
-def commit_pallas(curve_name: str, scalars_mont: jnp.ndarray) -> Point:
+def commit_pallas(curve_name: str, scalars_mont: jnp.ndarray):
     """Pedersen commit against the cached hash-derived generator key
-    (same generators as nova/pedersen.py::commitment_key)."""
+    (same generators as nova/pedersen.py::commitment_key).
+
+    Returns (projective Point in Montgomery form, canonical (3, 17)
+    integer-limb coordinate stack)."""
     n = scalars_mont.shape[0]
     lanes = 4096 if n * W >= 4096 else 1024
     gens12 = _shifted_gens12(curve_name, n)

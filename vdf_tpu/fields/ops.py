@@ -373,12 +373,19 @@ class Field:
 
     def encode(self, values) -> jnp.ndarray:
         """Python int (or sequence of ints) -> Montgomery limb array."""
-        to_limbs = lambda v: int_to_limbs(
-            self.params.to_mont(int(v) % self.params.modulus)
-        )
+        p = self.params.modulus
+        to_mont = self.params.to_mont
         if isinstance(values, (int, np.integer)):
-            return jnp.asarray(to_limbs(values))
-        return jnp.asarray(np.stack([to_limbs(v) for v in values]))
+            return jnp.asarray(int_to_limbs(to_mont(int(values) % p)))
+        # bytes fast path (bit-identical to int_to_limbs): one to_bytes
+        # per element + a single frombuffer beats 17 shift/mask ops per
+        # element ~5x — witness encoding is on the per-fold critical path
+        # (nova/ivc.py::Side.encode_w, ~15k elements per step).
+        buf = b"".join(
+            to_mont(int(v) % p).to_bytes(2 * NLIMBS, "little") for v in values
+        )
+        arr = np.frombuffer(buf, dtype="<u2").reshape(-1, NLIMBS)
+        return jnp.asarray(arr.astype(np.uint32))
 
     def decode(self, a: jnp.ndarray) -> list[int]:
         """Montgomery limb array -> canonical Python ints."""

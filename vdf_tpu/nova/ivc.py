@@ -266,10 +266,29 @@ class Side:
     def encode_w(self, w_ints: list[int]) -> jnp.ndarray:
         return self.field.encode(w_ints)
 
+    @functools.cached_property
+    def _decode_stack_fn(self):
+        """One dispatch for all three coords: through the remote-TPU
+        tunnel each jit call + device_get costs ~10 ms of RPC, so the
+        per-coordinate decode (3 dispatches + syncs) tripled the
+        per-commit latency."""
+        f = get_curve(self.curve_name).field
+        return jax.jit(lambda pt: f.from_mont(jnp.stack(list(pt))))
+
+    def _affine_of_canon(self, canon) -> tuple | None:
+        """(3, 17) canonical limb stack (on device or host) -> affine."""
+        from ..fields.params import limbs_to_int
+
+        canon = np.asarray(jax.device_get(canon))
+        x, y, z = (limbs_to_int(row) for row in canon)
+        if z == 0:
+            return None
+        mod = get_curve(self.curve_name).field.params.modulus
+        zi = pow(z, -1, mod)
+        return (x * zi % mod, y * zi % mod)
+
     def _decode_point(self, p) -> tuple | None:
-        return get_curve(self.curve_name).to_affine_ints(
-            type(p)(*(v[None] for v in p))
-        )[0]
+        return self._affine_of_canon(self._decode_stack_fn(p))
 
     def _encode_point(self, aff: tuple | None):
         c = get_curve(self.curve_name)
@@ -383,31 +402,29 @@ class Side:
         """(n_pad, 17) scalars -> commitment point.  Callers zero-pad to
         ``_commit_pad`` (zero scalars contribute identity)."""
         pad = self._commit_pad
-        if self._use_pallas_commit:
-            from ..curves.pallas_msm import commit_pallas
 
-            def run_pallas(w):
-                n = w.shape[0]
-                if n < pad:
-                    w = jnp.concatenate(
-                        [w, jnp.zeros((pad - n, w.shape[1]), w.dtype)], axis=0
-                    )
-                return commit_pallas(self.curve_name, w)
-
-            return run_pallas
-
-        jitted = jax.jit(lambda tables, w: self._commit_t(tables, w))
-        tables = self._tables
-
-        def run(w):
+        def padded(w):
             n = w.shape[0]
             if n < pad:
                 w = jnp.concatenate(
                     [w, jnp.zeros((pad - n, w.shape[1]), w.dtype)], axis=0
                 )
-            return jitted(tables, w)
+            return w
 
-        return run
+        if self._use_pallas_commit:
+            from ..curves.pallas_msm import commit_pallas
+
+            return lambda w: commit_pallas(self.curve_name, padded(w))
+
+        f_base = get_curve(self.curve_name).field
+
+        def commit_canon(tables, w):
+            pt = self._commit_t(tables, w)
+            return pt, f_base.from_mont(jnp.stack(list(pt)))
+
+        jitted = jax.jit(commit_canon)
+        tables = self._tables
+        return lambda w: jitted(tables, padded(w))
 
     def commit_ints(self, w_ints: list[int]):
         """-> (witness handle, affine commitment).  The handle is a jnp
@@ -416,7 +433,8 @@ class Side:
             w = [int(v) for v in w_ints]
             return w, self.host_plane.commit(w)
         w = self.encode_w(w_ints)
-        return w, self._decode_point(self._commit_fn(w))
+        _, canon = self._commit_fn(w)
+        return w, self._affine_of_canon(canon)
 
     def zero_w(self):
         if not self.use_device:
@@ -445,8 +463,10 @@ class Side:
         tables = self._tables
 
         def run(W1, w2, x1, u1, x2):
+            """-> (T, comm_T affine ints)."""
             t = jitted(tables, W1, w2, x1, u1, x2)
-            return t, self._commit_fn(t)
+            _, canon = self._commit_fn(t)
+            return t, self._affine_of_canon(canon)
 
         return run
 
@@ -485,8 +505,8 @@ class Side:
 
         def run(W, E, x, u, comm_w_pt, comm_e_pt):
             ok = bool(jax.device_get(jitted(tables, W, E, x, u)))
-            ok &= _eq_pt(self._commit_fn(W), comm_w_pt)
-            ok &= _eq_pt(self._commit_fn(E), comm_e_pt)
+            ok &= _eq_pt(self._commit_fn(W)[0], comm_w_pt)
+            ok &= _eq_pt(self._commit_fn(E)[0], comm_e_pt)
             return ok
 
         return run
@@ -526,8 +546,7 @@ class Side:
             return U_new, W_new, E_new, comm_t, r
         x1, u1 = self._x_u_enc(U)
         x2, _ = self._x_u_enc(u)
-        t, comm_t_pt = self._cross_fn(W, w2, x1, u1, x2)
-        comm_t = self._decode_point(comm_t_pt)
+        t, comm_t = self._cross_fn(W, w2, x1, u1, x2)
         r = fold_challenge(self.tr_field, d, U, u, comm_t)
         U_new = self.fold_instance(U, u, comm_t, r)
         W_new, E_new = self._wfold_fn(W, E, w2, t, self.field.encode(r))
