@@ -1,0 +1,140 @@
+"""Pallas MSM tier tests (curves/pallas_curve.py, curves/pallas_msm.py).
+
+Off-TPU the kernels run in the Pallas interpreter under jit; the full
+MSM pipeline is exercised at tiny sizes (slow lane), all CPU variants in the slow
+lane (the interpreter graphs take minutes of XLA:CPU compile).  On real TPU hardware the same code paths are
+correctness-gated against the native C++ oracle by bench.py --msm.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import vdf_tpu.curves.pallas_msm as pm
+from vdf_tpu.curves import get_curve
+from vdf_tpu.curves.pallas_curve import KernelCurve
+from vdf_tpu.curves.pallas_msm import NL12, _load_pt, _store_pt
+from vdf_tpu.curves.point import Point, hash_to_curve_ints
+
+curve = get_curve("pallas")
+FNAME = curve.params.base_field
+
+
+def _run_op(op, pa, qa):
+    def kernel(a_ref, b_ref, out_ref):
+        kc = KernelCurve(FNAME)
+        _store_pt(out_ref, (), op(kc, _load_pt(a_ref, ()), _load_pt(b_ref, ())))
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, NL12, 8, 128), jnp.int32),
+        interpret=jax.default_backend() != "tpu",
+    )
+    return jax.jit(call)(pa, qa)
+
+
+def _to_lay(a12):
+    return a12.transpose(1, 2, 0).reshape(3, NL12, 8, 128)
+
+
+def _decode_lane(out, k):
+    got12 = out.reshape(3, NL12, 1024).transpose(2, 0, 1)
+    gp = pm._pt_from_12(curve, got12[k])
+    return curve.to_affine_ints(Point(*(v[None] for v in gp)))[0]
+
+
+@pytest.fixture(scope="module")
+def lanes_1024():
+    pts_aff = hash_to_curve_ints("pallas", 16)
+    P = curve.from_affine_ints(pts_aff)
+    P = Point(*(jnp.tile(v, (64, 1)) for v in P))
+    pa = _to_lay(pm._pts_to_12(curve, P))
+    ia = _to_lay(
+        jnp.broadcast_to(jnp.asarray(pm._identity12(FNAME)), (1024, 3, NL12))
+    )
+    return P, pa, ia
+
+
+@pytest.mark.slow
+def test_kernel_add_matches_xla(lanes_1024):
+    P, pa, ia = lanes_1024
+    Q = curve.double(P)
+    qa = _to_lay(pm._pts_to_12(curve, Q))
+    out = _run_op(lambda kc, p, q: kc.add(p, q), pa, qa)
+    exp = curve.to_affine_ints(Point(*(v[:3] for v in curve.add(P, Q))))
+    for k in range(3):
+        assert _decode_lane(out, k) == exp[k]
+
+
+@pytest.mark.slow
+def test_kernel_double_and_identity(lanes_1024):
+    P, pa, ia = lanes_1024
+    out = _run_op(lambda kc, p, q: kc.double(p), pa, ia)
+    exp = curve.to_affine_ints(Point(*(v[:3] for v in curve.double(P))))
+    for k in range(3):
+        assert _decode_lane(out, k) == exp[k]
+    # P + P through the complete add == double; identity + P == P
+    out = _run_op(lambda kc, p, q: kc.add(p, q), pa, pa)
+    for k in range(3):
+        assert _decode_lane(out, k) == exp[k]
+    out = _run_op(lambda kc, p, q: kc.add(p, q), ia, pa)
+    p_aff = curve.to_affine_ints(Point(*(v[:3] for v in P)))
+    for k in range(3):
+        assert _decode_lane(out, k) == p_aff[k]
+
+
+@pytest.mark.slow
+def test_commit_pallas_matches_host_oracle():
+    """Tiny fixed-base commit through the full kernel pipeline
+    (interpreted off-TPU) vs the exact host-int MSM."""
+    from vdf_tpu.curves.int_ops import get_int_curve
+    from vdf_tpu.nova.pedersen import commitment_key
+
+    n = 8
+    f = curve.scalar
+    rng = np.random.default_rng(3)
+    q = f.params.modulus
+    scal = [int.from_bytes(rng.bytes(32), "little") % q for _ in range(n)]
+    pt, canon = pm.commit_pallas("pallas", f.encode(scal))
+    got = None
+    from vdf_tpu.fields.params import limbs_to_int
+
+    cn = np.asarray(jax.device_get(canon))
+    x, y, z = (limbs_to_int(r) for r in cn)
+    mod = curve.field.params.modulus
+    zi = pow(z, -1, mod)
+    got = (x * zi % mod, y * zi % mod)
+
+    ck = commitment_key("pallas", n)
+    gens = curve.to_affine_ints(ck.gens)
+    ic = get_int_curve("pallas")
+    acc = None
+    for (gx, gy), s in zip(gens, scal):
+        term = ic.scalar_mul(ic.from_affine((gx, gy)), s)
+        acc = term if acc is None else ic.add(acc, term)
+    want = ic.to_affine(acc)
+    assert got == want
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs real TPU")
+def test_msm_pallas_matches_native_tpu():
+    from vdf_tpu.native import msm_native
+
+    f = curve.scalar
+    rng = np.random.default_rng(5)
+    q = f.params.modulus
+    n = 4096
+    base = hash_to_curve_ints("pallas", 256, domain=b"vdf_tpu/t")
+    aff = [base[k % 256] for k in range(n)]
+    sc = [int.from_bytes(rng.bytes(32), "little") % q for _ in range(n)]
+    r = pm.msm_pallas(curve, curve.from_affine_ints(aff), f.encode(sc))
+    ra = curve.to_affine_ints(Point(*(v[None] for v in r)))[0]
+    x, y, z = msm_native("pallas", aff, sc)
+    mod = curve.field.params.modulus
+    zi = pow(z, -1, mod)
+    assert ra == (x * zi * zi % mod, y * zi * zi % mod * zi % mod)

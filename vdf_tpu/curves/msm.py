@@ -335,6 +335,9 @@ _CPU_GROUP_SLOT_BUDGET = 1 << 14
 # Below this size the bit-plane evaluator's simpler graph wins.
 _PIPPENGER_MIN_N = 256
 
+# On TPU, the Pallas kernel MSM takes over from here.
+_PALLAS_MIN_N = 1024
+
 
 def _window_bits(n: int) -> int:
     """Window size balancing scan work (~2N per window) against bucket
@@ -343,8 +346,21 @@ def _window_bits(n: int) -> int:
 
 
 def msm(curve: Curve, points: Point, scalars_mont: jnp.ndarray) -> Point:
-    """Jitted MSM entry point (cached per curve + shape + algorithm)."""
+    """Jitted MSM entry point (cached per curve + shape + algorithm).
+
+    On a real TPU, sizes past the Pallas threshold route to the
+    in-kernel Pippenger (curves/pallas_msm.py) — the XLA formulation
+    below pays a ~10 ms dispatch floor per batched point-add pass and
+    loses ~30x to it.  Off-TPU (CPU tests, virtual meshes) the XLA
+    path remains the evaluator.
+    """
+    import jax
+
     n = points.x.shape[0]
+    if n >= _PALLAS_MIN_N and jax.default_backend() == "tpu":
+        from .pallas_msm import msm_pallas
+
+        return msm_pallas(curve, points, scalars_mont)
     if n >= _PIPPENGER_MIN_N:
         return _msm_jit(curve.params.name, True, _window_bits(n))(
             points, scalars_mont
