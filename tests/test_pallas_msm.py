@@ -1,9 +1,12 @@
 """Pallas MSM tier tests (curves/pallas_curve.py, curves/pallas_msm.py).
 
-Off-TPU the kernels run in the Pallas interpreter under jit; the full
-MSM pipeline is exercised at tiny sizes (slow lane), all CPU variants in the slow
-lane (the interpreter graphs take minutes of XLA:CPU compile).  On real TPU hardware the same code paths are
-correctness-gated against the native C++ oracle by bench.py --msm.
+TPU-only: the interpreter fallback's XLA:CPU compile of the in-kernel
+point-add graphs hits the known simplifier pathology (fields/ops.py
+notes) and does not terminate in useful time, so off-TPU these skip.
+On real TPU hardware (the bench/driver environment) they gate the
+kernel group law against curves/point.py and the full fixed-base commit
+and variable-base MSM pipelines against the native C++ oracle — the
+same gates bench.py applies before reporting numbers.
 """
 
 import jax
@@ -12,6 +15,11 @@ import numpy as np
 import pytest
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="Pallas-interpret graphs do not compile on XLA:CPU in useful time",
+)
 
 import vdf_tpu.curves.pallas_msm as pm
 from vdf_tpu.curves import get_curve
@@ -60,7 +68,6 @@ def lanes_1024():
     return P, pa, ia
 
 
-@pytest.mark.slow
 def test_kernel_add_matches_xla(lanes_1024):
     P, pa, ia = lanes_1024
     Q = curve.double(P)
@@ -71,7 +78,6 @@ def test_kernel_add_matches_xla(lanes_1024):
         assert _decode_lane(out, k) == exp[k]
 
 
-@pytest.mark.slow
 def test_kernel_double_and_identity(lanes_1024):
     P, pa, ia = lanes_1024
     out = _run_op(lambda kc, p, q: kc.double(p), pa, ia)
@@ -88,7 +94,6 @@ def test_kernel_double_and_identity(lanes_1024):
         assert _decode_lane(out, k) == p_aff[k]
 
 
-@pytest.mark.slow
 def test_commit_pallas_matches_host_oracle():
     """Tiny fixed-base commit through the full kernel pipeline
     (interpreted off-TPU) vs the exact host-int MSM."""
@@ -121,7 +126,6 @@ def test_commit_pallas_matches_host_oracle():
     assert got == want
 
 
-@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs real TPU")
 def test_msm_pallas_matches_native_tpu():
     from vdf_tpu.native import msm_native
 

@@ -81,13 +81,19 @@ def kernel_consts(field_name: str):
 # ----------------------------------------------------------------------
 
 
-def _resolve(v: list, n_out: int) -> list:
-    """Exact carry resolution of redundant limbs (<2^31) to canonical
-    (<2^12) limbs.  Two folding passes then a ripple; value preserved
-    modulo 2^(12*n_out)."""
+def _resolve(v: list, n_out: int, passes: int = 3) -> list:
+    """Carry resolution of redundant limbs (<2^31); value preserved
+    modulo 2^(12*n_out).
+
+    ``passes=3`` (default) yields canonical limbs (< 2^12).  ``passes=2``
+    yields semi-canonical limbs (< 2^12 + 131): enough for any further
+    convolution (products stay < 2^29) but NOT for the borrow-ready
+    subtraction tables, whose floors assume canonical subtrahends — use
+    it only for values that feed multiplies (the Montgomery t_low / m
+    intermediates)."""
     v = list(v) + [jnp.zeros_like(v[0])] * (n_out - len(v))
     v = v[:n_out]
-    for _ in range(2):
+    for _ in range(passes):
         out = []
         carry = None
         for x in v:
@@ -96,15 +102,7 @@ def _resolve(v: list, n_out: int) -> list:
             out.append(jnp.bitwise_and(x, KMASK))
             carry = jax.lax.shift_right_logical(x, KB)
         v = out
-    # Limbs now <= 0xfff + small; one exact ripple finishes.
-    out = []
-    carry = None
-    for x in v:
-        if carry is not None:
-            x = x + carry
-        out.append(jnp.bitwise_and(x, KMASK))
-        carry = jax.lax.shift_right_logical(x, KB)
-    return out
+    return v
 
 
 def _resolve_with_carry(v: list, n_out: int, carry_limbs: int = 1):
@@ -154,6 +152,25 @@ def _conv_trunc(a: list, b: list, n_out: int) -> list:
     return [jnp.zeros_like(a[0]) if x is None else x for x in z]
 
 
+def _conv_const_full(a: list, const_np: np.ndarray, like) -> list:
+    """Full convolution with a host-known constant, skipping its zero
+    limbs.  The Pasta moduli are 2^254 + c with c ~126 bits, so p has
+    only ~12 nonzero radix-12 limbs — the Montgomery m*p product drops
+    from 484 to ~260 MACs."""
+    n = len(a)
+    z = [None] * (2 * n - 1)
+    for j, cv in enumerate(const_np):
+        cv = int(cv)
+        if cv == 0:
+            continue
+        cj = jnp.full_like(like, cv)
+        for i in range(n):
+            k = i + j
+            t = a[i] * cj
+            z[k] = t if z[k] is None else z[k] + t
+    return [jnp.zeros_like(like) if x is None else x for x in z]
+
+
 def _const_list(arr: np.ndarray, like: jnp.ndarray) -> list:
     return [jnp.full_like(like, int(v)) for v in arr]
 
@@ -172,11 +189,20 @@ class KernelField:
         self.pm1_np = c["pm1_mont"]
 
     def _mont_reduce(self, t_raw: list) -> list:
-        """(T + m*p)/R for redundant T (43 limbs); output canonical < 2p."""
-        t_low = _resolve(t_raw[:NL12], NL12)
+        """(T + m*p)/R for redundant T (43 limbs); output canonical < 2p.
+
+        The t_low/m intermediates only feed further convolutions, so
+        2-pass semi-canonical resolves suffice (see _resolve); m*p uses
+        the zero-limb-skipping constant convolution.  Together ~20%
+        fewer VPU ops per multiply."""
+        t_low = _resolve(t_raw[:NL12], NL12, passes=2)
         like = t_low[0]
-        m = _resolve(_conv_trunc(t_low, _const_list(self.pinv_np, like), NL12), NL12)
-        mp = _conv_full(m, _const_list(self.p_np, like))
+        m = _resolve(
+            _conv_trunc(t_low, _const_list(self.pinv_np, like), NL12),
+            NL12,
+            passes=2,
+        )
+        mp = _conv_const_full(m, self.p_np, like)
         total = [
             (t_raw[k] if k < len(t_raw) else jnp.zeros_like(like))
             + (mp[k] if k < len(mp) else jnp.zeros_like(like))
