@@ -337,6 +337,30 @@ def _minroot_result(args) -> dict:
     dt_v = time.perf_counter() - t0
     verify_iters_per_sec = lanes * t / dt_v
 
+    # Per-lane LATENCY point (BASELINE metric 1 is iters/sec/LANE): the
+    # aggregate above amortizes the sequential grid over 16k lanes; at
+    # one grid block (1024 lanes) the same kernel shows the true
+    # per-lane critical-path rate.
+    latency_per_lane = None
+    if use_fused:
+        try:
+            from vdf_tpu.minroot.fused import eval_fused as _ef
+
+            s_small = State(
+                f.encode([3 + k for k in range(1024)]),
+                f.encode([0] * 1024),
+                f.encode([0] * 1024),
+            )
+            lat_fn = functools.partial(_ef, vdf, t=t, block_sublanes=8)
+            r = lat_fn(s_small)
+            jax.block_until_ready(r.x)
+            t0 = time.perf_counter()
+            r = lat_fn(s_small)
+            jax.block_until_ready(r.x)
+            latency_per_lane = round(t / (time.perf_counter() - t0), 1)
+        except Exception:
+            pass
+
     # Per-EvalMode eval timings (reference benches/vdf.rs:16-23 runs one
     # bench per mode; C17).  The four modes are distinct forward-step
     # schedules on the XLA path (fields/chains.py); the fused kernel's
@@ -392,6 +416,7 @@ def _minroot_result(args) -> dict:
             "verify_iters_per_sec": round(verify_iters_per_sec, 1),
             "verify_wall_seconds": round(dt_v, 3),
             "per_mode_eval": modes,
+            "latency_iters_per_sec_per_lane_at_1024": latency_per_lane,
         },
     }
 

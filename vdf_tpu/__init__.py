@@ -25,6 +25,7 @@ from .errors import (  # noqa: F401
     SynthesisError,
     VDFError,
 )
+from .config import ProverConfig  # noqa: F401
 from .utils import TEST_SEED  # noqa: F401
 
 # The reference declares Pallas the canonical instantiation

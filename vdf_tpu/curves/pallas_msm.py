@@ -31,8 +31,10 @@ chain entirely: the generator table is pre-shifted per window
 (G_i^(w) = 2^(cw)·G_i, built once by the shift kernel), turning the
 whole MSM into ONE bucket accumulation over W·N items.
 
-All kernels also run under ``interpret=True`` (tests/test_pallas_msm.py
-exercises them off-TPU against the XLA/host oracles).
+Correctness is gated on real TPU hardware against the native C++ oracle
+(tests/test_pallas_msm.py and the bench.py gates); the interpreter
+fallback exists but XLA:CPU cannot compile these kernel graphs in
+useful time, so off-TPU callers use curves/msm.py instead.
 """
 
 from __future__ import annotations
@@ -408,14 +410,6 @@ def _sorted_layout(vals: jnp.ndarray, lanes: int, rows: int) -> jnp.ndarray:
     return arr.reshape(*arr.shape[:-1], lanes // 128, 128)
 
 
-def _unsort_layout(arr: jnp.ndarray) -> jnp.ndarray:
-    """(rows, ..., S, 128) -> (per, ...)."""
-    rows = arr.shape[0]
-    arr = arr.reshape(*arr.shape[:-2], -1)  # (rows, ..., L)
-    arr = jnp.moveaxis(arr, -1, 0)  # (L, rows, ...)
-    return arr.reshape(rows * arr.shape[0], *arr.shape[2:])
-
-
 def _identity12(base_field: str) -> np.ndarray:
     one = np.asarray(kernel_consts(base_field)["one"], dtype=np.int32)
     out = np.zeros((3, NL12), dtype=np.int32)
@@ -454,27 +448,34 @@ def _bucket_accumulate(
     flags = (hcum[:, rows - 1] > 0).astype(jnp.int32)
     carries = _colscan_call(base_field, sums, flags, n_win, sub)
 
-    prefix_flat = jax.vmap(_unsort_layout)(prefix)  # (n_win, per, 3, NL12)
-    hcum_flat = jax.vmap(_unsort_layout)(hcum)  # (n_win, per)
-    carries_flat = jax.vmap(
-        lambda c: c.reshape(3, NL12, lanes).transpose(2, 0, 1)
-    )(carries)  # (n_win, L, 3, NL12)
-
-    pos = jnp.arange(per, dtype=jnp.int32)
-    col = pos // rows
+    # Compact the <= NB run tails per window BEFORE touching point data:
+    # a full-size (per,) scatter/gather of 264-byte rows cost ~100 ms per
+    # window; gathering just the NB tail positions is ~50x cheaper.
     ident = jnp.asarray(_identity12(base_field))
 
-    def one_window(pf, hc, cf, dg, tl):
+    def one_window(prefix_w, hcum_w, carries_w, dg, tl):
+        # prefix_w (rows,3,NL12,sub,128); hcum_w (rows,sub,128);
+        # carries_w (3,NL12,sub,128); dg/tl (per,)
+        cnt = tl.sum()
+        tpos = jnp.nonzero(tl, size=NB, fill_value=0)[0]
+        valid = jnp.arange(NB) < cnt
+        r_i = (tpos % rows).astype(jnp.int32)
+        colp = tpos // rows
+        s_i = (colp // 128).astype(jnp.int32)
+        j_i = (colp % 128).astype(jnp.int32)
+        vals = prefix_w[r_i, :, :, s_i, j_i]  # (NB, 3, NL12)
+        hc = hcum_w[r_i, s_i, j_i]  # (NB,)
+        carry = jnp.moveaxis(carries_w[:, :, s_i, j_i], -1, 0)  # (NB, 3, NL12)
+        dgt = dg[tpos]
         base = jnp.broadcast_to(ident, (NB + 1, 3, NL12))
-        bidx = jnp.where(tl & (dg != 0), dg, NB)
-        tails_b = base.at[bidx].set(pf)[:NB]
-        carry_at = cf[col]  # (per, 3, NL12)
-        cidx = jnp.where(tl & (hc == 0) & (dg != 0), dg, NB)
-        carries_b = base.at[cidx].set(carry_at)[:NB]
+        bidx = jnp.where(valid & (dgt != 0), dgt, NB)
+        tails_b = base.at[bidx].set(vals)[:NB]
+        cidx = jnp.where(valid & (hc == 0) & (dgt != 0), dgt, NB)
+        carries_b = base.at[cidx].set(carry)[:NB]
         to_k = lambda b: b.reshape(SB, 128, 3, NL12).transpose(2, 3, 0, 1)
         return to_k(tails_b), to_k(carries_b)
 
-    tb, cb = jax.vmap(one_window)(prefix_flat, hcum_flat, carries_flat, d_g, tails)
+    tb, cb = jax.vmap(one_window)(prefix, hcum, carries, d_g, tails)
     return _bucket_call(base_field, tb, cb, n_win)
 
 
@@ -510,7 +511,10 @@ def msm_pallas_traceable(
         )
         order = (keys & ((1 << sh) - 1)).astype(jnp.int32)
         d_s = (keys >> sh).astype(jnp.int32)
-        pts_s = pts12[order.reshape(-1)]  # (g*n_pad, 3, NL12)
+        # 2-D row gather (3-D-source gathers lower poorly on TPU)
+        pts_s = pts12.reshape(n_pad, 3 * NL12)[order.reshape(-1)].reshape(
+            -1, 3, NL12
+        )
         return _bucket_accumulate(base_field, pts_s, d_s.reshape(-1), dw.shape[0], lanes)
 
     group = window_group or (2 if n_pad > (1 << 17) else W)
@@ -604,7 +608,7 @@ def commit_pallas_traceable(
     keys = jnp.sort(keys)
     order = (keys & ((1 << sh) - 1)).astype(jnp.int32)
     d_s = (keys >> sh).astype(jnp.int32)
-    pts_s = gens12[order]
+    pts_s = gens12.reshape(-1, 3 * NL12)[order].reshape(-1, 3, NL12)
     out = _bucket_accumulate(base_field, pts_s, d_s, 1, lanes)
     return _pt_from_12(curve, out[0, :, :, 0, 1])
 
