@@ -123,6 +123,5 @@ class TestMSM:
         s = c.scalar.encode([0, 1, 0])
         got = c.to_affine_ints(msm(c, pts, s))[0]
         assert got == pts_int[1]
-import pytest as _pytest
 
-pytestmark = _pytest.mark.slow  # heavy XLA compiles: slow CI lane
+# (fast lane: first-compile cost is tamed by the persistent cache)

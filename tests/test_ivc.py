@@ -149,6 +149,5 @@ class TestAugmentedShape:
         ivc = RecursiveIVC(pp, z0, debug=True)  # raises if unsatisfied
         ivc.prove_step()
         assert ivc.i == 2
-import pytest as _pytest
 
-pytestmark = _pytest.mark.slow  # heavy XLA compiles: slow CI lane
+# (fast lane: first-compile cost is tamed by the persistent cache)

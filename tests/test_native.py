@@ -81,6 +81,5 @@ class TestNativeMSM:
                 ic.scalar_mul(ic.from_affine(Q[i]), b),
             )
             assert got[i] == ic.to_affine(want)
-import pytest as _pytest
 
-pytestmark = _pytest.mark.slow  # heavy XLA compiles: slow CI lane
+# (fast lane: first-compile cost is tamed by the persistent cache)

@@ -536,4 +536,86 @@ void fold_points_native(int curve, const u64* pts_p, const u64* pts_q,
   fold_points_run(base, pts_p, pts_q, sa, sb, n, out, id_flags);
 }
 
+// Poseidon permutation witness fast path (the host-int control plane's
+// transcripts and the augmented circuit's value-only witness pass —
+// poseidon/int_poseidon.py::permute_ints, nova/gadgets/sponge.py).
+// Mirrors permute_ints round for round: half full rounds, r_p partial,
+// full_rounds-half full; round constants added first, S-box x^5, MDS.
+//
+// state: width*4 u64 canonical, updated in place.
+// rc: (full_rounds+r_p)*width*4 canonical.  mds: width*width*4 canonical.
+// triples: if non-null, every S-box emits (x^2, x^4, x^5) canonical in
+// gadget allocation order — (half*width + r_p + (full_rounds-half)*width)
+// triples of 3*4 u64 (the in-circuit sponge's allocated values).
+void poseidon_witness_native(int fq, int width, int half, int r_p,
+                             int full_rounds, const u64* rc, const u64* mds,
+                             u64* state, u64* triples) {
+  const FieldCtx& f = fq ? FQ_CTX : FP_CTX;
+  const int W = width;
+  Fe s[16], rcm[16], m[256], tmp[16];
+  for (int j = 0; j < W; ++j) {
+    std::memcpy(s[j].v, state + 4 * j, 32);
+    to_mont(f, s[j], s[j]);
+  }
+  for (int j = 0; j < W * W; ++j) {
+    std::memcpy(m[j].v, mds + 4 * j, 32);
+    to_mont(f, m[j], m[j]);
+  }
+  u64* tp = triples;
+  int rnd = 0;
+  auto add_rc = [&](int r) {
+    for (int j = 0; j < W; ++j) {
+      Fe c;
+      std::memcpy(c.v, rc + 4 * (r * W + j), 32);
+      to_mont(f, c, c);
+      fe_add(f, s[j], c, s[j]);
+    }
+  };
+  auto sbox = [&](Fe& x) {
+    Fe x2, x4, x5;
+    fe_sqr(f, x, x2);
+    fe_sqr(f, x2, x4);
+    fe_mul(f, x4, x, x5);
+    if (tp) {
+      Fe o;
+      from_mont(f, x2, o); std::memcpy(tp, o.v, 32); tp += 4;
+      from_mont(f, x4, o); std::memcpy(tp, o.v, 32); tp += 4;
+      from_mont(f, x5, o); std::memcpy(tp, o.v, 32); tp += 4;
+    }
+    x = x5;
+  };
+  auto mds_mul = [&]() {
+    for (int i = 0; i < W; ++i) {
+      Fe acc = {{0, 0, 0, 0}};
+      for (int j = 0; j < W; ++j) {
+        Fe t;
+        fe_mul(f, m[i * W + j], s[j], t);
+        fe_add(f, acc, t, acc);
+      }
+      tmp[i] = acc;
+    }
+    for (int i = 0; i < W; ++i) s[i] = tmp[i];
+  };
+  for (int r = 0; r < half; ++r, ++rnd) {
+    add_rc(rnd);
+    for (int j = 0; j < W; ++j) sbox(s[j]);
+    mds_mul();
+  }
+  for (int r = 0; r < r_p; ++r, ++rnd) {
+    add_rc(rnd);
+    sbox(s[0]);
+    mds_mul();
+  }
+  for (int r = 0; r < full_rounds - half; ++r, ++rnd) {
+    add_rc(rnd);
+    for (int j = 0; j < W; ++j) sbox(s[j]);
+    mds_mul();
+  }
+  for (int j = 0; j < W; ++j) {
+    Fe o;
+    from_mont(f, s[j], o);
+    std::memcpy(state + 4 * j, o.v, 32);
+  }
+}
+
 }  // extern "C"

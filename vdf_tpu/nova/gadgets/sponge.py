@@ -47,6 +47,38 @@ def permute_gadget(cs, field_name: str, state: list, name: str = "pos") -> list:
     values_only = _is_witness(cs) and not getattr(cs, "check", False)
     _empty = LinearCombination()
 
+    # Native witness fast path: the C++ permutation emits every S-box
+    # intermediate in this gadget's allocation order, so the value-only
+    # pass just allocates from the returned buffer (the Python-int
+    # rounds were ~45% of per-fold witness synthesis).  Requires host
+    # ints (the augmented circuit's control plane) and the native build.
+    if values_only and isinstance(state[0].value, int):
+        from ...poseidon.int_poseidon import _native_permute
+
+        native = _native_permute()
+        if native is not None:
+            out_state, triples = native(
+                field_name, [int(el.value) for el in state], emit_triples=True
+            )
+            k = 0
+
+            def alloc3():
+                nonlocal k
+                for _ in range(3):
+                    cs.alloc("sb", value=triples[k])
+                    k += 1
+
+            for r in range(half):
+                for _ in range(width):
+                    alloc3()
+            for r in range(r_p):
+                alloc3()
+            for r in range(FULL_ROUNDS - half):
+                for _ in range(width):
+                    alloc3()
+            assert k == len(triples)
+            return [Num(_empty, v) for v in out_state]
+
     def add_rc(s: list, r: int) -> list:
         out = []
         for j, el in enumerate(s):

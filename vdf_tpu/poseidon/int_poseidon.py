@@ -25,10 +25,33 @@ def _constants(field_name: str, width: int):
     return rc, mds
 
 
+@functools.cache
+def _native_permute():
+    """The C++ permutation (native/pasta.cpp) when the toolchain builds;
+    None otherwise.  ~50x faster than the Python-int rounds — the host
+    transcripts sit on the per-fold critical path (nova/ivc.py
+    fold_challenge / state_hash)."""
+    try:
+        from ..native import poseidon_permute_native
+
+        got = poseidon_permute_native("Fq", [1, 2, 3, 4, 5])
+        want = _permute_ints_py("Fq", [1, 2, 3, 4, 5], 5)
+        return poseidon_permute_native if got == want else None
+    except Exception:
+        return None
+
+
 def permute_ints(field_name: str, state: list[int], width: int | None = None) -> list[int]:
     """One Poseidon permutation over canonical ints."""
     width = width or len(state)
     assert len(state) == width
+    native = _native_permute()
+    if native is not None:
+        return native(field_name, [int(v) for v in state])
+    return _permute_ints_py(field_name, state, width)
+
+
+def _permute_ints_py(field_name: str, state: list[int], width: int) -> list[int]:
     p = get_int_field(field_name).p
     rc, mds = _constants(field_name, width)
     r_p = partial_rounds(width)
