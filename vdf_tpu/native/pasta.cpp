@@ -536,6 +536,152 @@ void fold_points_native(int curve, const u64* pts_p, const u64* pts_q,
   fold_points_run(base, pts_p, pts_q, sa, sb, n, out, id_flags);
 }
 
+// ---------------------------------------------------------------------
+// Complete projective (RCB15 a=0) ops + the EC fold-gadget witness
+// emitter.  Mirrors nova/gadgets/ec.py value-for-value and allocation-
+// for-allocation; the in-circuit fold's scalar-mul witness was ~25% of
+// per-fold synthesis in Python ints.
+// ---------------------------------------------------------------------
+
+struct PPt {  // homogeneous projective (X : Y : Z); identity (0 : 1 : 0)
+  Fe x, y, z;
+};
+
+// Emit helper: append canonical form of v to *out and advance.
+static inline void emit_fe(const FieldCtx& f, const Fe& v, u64*& out) {
+  Fe c;
+  from_mont(f, v, c);
+  std::memcpy(out, c.v, 32);
+  out += 4;
+}
+
+// Complete add, emitting the 12 allocated products in gadget order
+// (ec.py ProjPoint.add: t0,t1,t2,t3,t4,xz,x3a,x3b,y3a,y3b,z3a,z3b).
+static void ppt_add_emit(const FieldCtx& f, const Fe& b3, const PPt& p,
+                         const PPt& q, PPt& out, u64*& emit) {
+  Fe t0, t1, t2, t3, t4, y3, x3, t2b, z3, t1n, y3b, x3a, x3b, y3a, y3bm, z3a, z3b, s;
+  fe_mul(f, p.x, q.x, t0); emit_fe(f, t0, emit);
+  fe_mul(f, p.y, q.y, t1); emit_fe(f, t1, emit);
+  fe_mul(f, p.z, q.z, t2); emit_fe(f, t2, emit);
+  Fe a1, a2;
+  fe_add(f, p.x, p.y, a1); fe_add(f, q.x, q.y, a2);
+  fe_mul(f, a1, a2, t3); emit_fe(f, t3, emit);
+  fe_add(f, t0, t1, s); fe_sub(f, t3, s, t3);
+  fe_add(f, p.y, p.z, a1); fe_add(f, q.y, q.z, a2);
+  fe_mul(f, a1, a2, t4); emit_fe(f, t4, emit);
+  fe_add(f, t1, t2, s); fe_sub(f, t4, s, t4);
+  fe_add(f, p.x, p.z, a1); fe_add(f, q.x, q.z, a2);
+  fe_mul(f, a1, a2, y3); emit_fe(f, y3, emit);  // "xz"
+  fe_add(f, t0, t2, s); fe_sub(f, y3, s, y3);
+  fe_add(f, t0, t0, x3); fe_add(f, x3, t0, x3);          // 3*t0
+  fe_mul(f, b3, t2, t2b);
+  fe_add(f, t1, t2b, z3);
+  fe_sub(f, t1, t2b, t1n);
+  fe_mul(f, b3, y3, y3b);
+  fe_mul(f, t3, t1n, x3a); emit_fe(f, x3a, emit);
+  fe_mul(f, t4, y3b, x3b); emit_fe(f, x3b, emit);
+  fe_mul(f, t1n, z3, y3a); emit_fe(f, y3a, emit);
+  fe_mul(f, y3b, x3, y3bm); emit_fe(f, y3bm, emit);
+  fe_mul(f, z3, t4, z3a); emit_fe(f, z3a, emit);
+  fe_mul(f, x3, t3, z3b); emit_fe(f, z3b, emit);
+  fe_sub(f, x3a, x3b, out.x);
+  fe_add(f, y3a, y3bm, out.y);
+  fe_add(f, z3a, z3b, out.z);
+}
+
+// Complete double, emitting the 8 allocated products in gadget order
+// (ec.py ProjPoint.double: t0,t1,zsq,x3,z3,y3,xy,x3f).
+static void ppt_double_emit(const FieldCtx& f, const Fe& b3, const PPt& p,
+                            PPt& out, u64*& emit) {
+  Fe t0, t1, zsq, t2, x3, y3, z3, t1b, t0n, y3m, xy, x3f;
+  fe_mul(f, p.y, p.y, t0); emit_fe(f, t0, emit);
+  fe_add(f, t0, t0, z3); fe_add(f, z3, z3, z3); fe_add(f, z3, z3, z3);  // 8*t0
+  fe_mul(f, p.y, p.z, t1); emit_fe(f, t1, emit);
+  fe_mul(f, p.z, p.z, zsq); emit_fe(f, zsq, emit);
+  fe_mul(f, b3, zsq, t2);
+  fe_mul(f, t2, z3, x3); emit_fe(f, x3, emit);
+  fe_add(f, t0, t2, y3);
+  fe_mul(f, t1, z3, out.z); emit_fe(f, out.z, emit);  // "z3"
+  fe_add(f, t2, t2, t1b); fe_add(f, t1b, t2, t1b);    // 3*t2
+  fe_sub(f, t0, t1b, t0n);
+  fe_mul(f, t0n, y3, y3m); emit_fe(f, y3m, emit);     // "y3"
+  fe_add(f, y3m, x3, out.y);
+  fe_mul(f, p.x, p.y, xy); emit_fe(f, xy, emit);
+  fe_mul(f, xy, t0n, x3f); emit_fe(f, x3f, emit);
+  fe_add(f, x3f, x3f, out.x);
+}
+
+static void fe_inv(const FieldCtx& f, const Fe& a, Fe& out) {
+  // a^(p-2); p odd so p-2 has no borrow past limb 0.
+  u64 e[4] = {f.p[0] - 2, f.p[1], f.p[2], f.p[3]};
+  fe_pow(f, a, e, out);
+}
+
+// One scaled_add of the in-circuit NIFS fold (instance.py fold():
+// term = pt.scalar_mul(r_bits); total = base + term; affine(total)),
+// emitting every allocated witness value in gadget order:
+//   per bit MSB-first: double(acc) 8 products, add(acc, pt) 12
+//   products, select 3 coords; then final add 12 products; then
+//   to_affine (inf, zinv, x, y).
+static void ec_scaled_add_emit(const FieldCtx& f, const PPt& base,
+                               const PPt& pt, const u64* r_bits_msb,
+                               int n_bits, u64*& emit) {
+  Fe b3raw = {{15, 0, 0, 0}}, b3;
+  to_mont(f, b3raw, b3);
+  PPt acc;
+  std::memset(&acc, 0, sizeof(acc));
+  std::memcpy(acc.y.v, f.one, 32);  // identity (0 : 1 : 0), Montgomery
+  for (int j = 0; j < n_bits; ++j) {
+    PPt dbl, added;
+    ppt_double_emit(f, b3, acc, dbl, emit);
+    ppt_add_emit(f, b3, dbl, pt, added, emit);
+    const PPt& sel = r_bits_msb[j] ? added : dbl;
+    emit_fe(f, sel.x, emit);
+    emit_fe(f, sel.y, emit);
+    emit_fe(f, sel.z, emit);
+    acc = sel;
+  }
+  PPt total;
+  ppt_add_emit(f, b3, base, acc, total, emit);
+  // to_affine: inf bit, zinv, x, y (ec.py ProjPoint.to_affine order).
+  Fe zc;
+  from_mont(f, total.z, zc);
+  bool inf = !(zc.v[0] | zc.v[1] | zc.v[2] | zc.v[3]);
+  u64 infv[4] = {inf ? 1ULL : 0ULL, 0, 0, 0};
+  std::memcpy(emit, infv, 32);
+  emit += 4;
+  Fe zinv = {{0, 0, 0, 0}}, ax = {{0, 0, 0, 0}}, ay = {{0, 0, 0, 0}};
+  if (!inf) {
+    fe_inv(f, total.z, zinv);
+    fe_mul(f, total.x, zinv, ax);
+    fe_mul(f, total.y, zinv, ay);
+  }
+  emit_fe(f, zinv, emit);
+  emit_fe(f, ax, emit);
+  emit_fe(f, ay, emit);
+}
+
+// EC fold-gadget witness values (see ec_scaled_add_emit above).
+// base/pt: projective canonical (3*4 u64 each); r_bits_msb: n_bits u64
+// of 0/1, MOST significant first; out: (n_bits*23 + 12 + 4) * 4 u64.
+extern "C" void ec_fold_witness_native(int fq, const u64* base_proj,
+                                       const u64* pt_proj,
+                                       const u64* r_bits_msb, int n_bits,
+                                       u64* out) {
+  const FieldCtx& f = fq ? FQ_CTX : FP_CTX;
+  PPt base, pt;
+  std::memcpy(base.x.v, base_proj + 0, 32);
+  std::memcpy(base.y.v, base_proj + 4, 32);
+  std::memcpy(base.z.v, base_proj + 8, 32);
+  std::memcpy(pt.x.v, pt_proj + 0, 32);
+  std::memcpy(pt.y.v, pt_proj + 4, 32);
+  std::memcpy(pt.z.v, pt_proj + 8, 32);
+  to_mont(f, base.x, base.x); to_mont(f, base.y, base.y); to_mont(f, base.z, base.z);
+  to_mont(f, pt.x, pt.x); to_mont(f, pt.y, pt.y); to_mont(f, pt.z, pt.z);
+  u64* emit = out;
+  ec_scaled_add_emit(f, base, pt, r_bits_msb, n_bits, emit);
+}
+
 // Poseidon permutation witness fast path (the host-int control plane's
 // transcripts and the augmented circuit's value-only witness pass —
 // poseidon/int_poseidon.py::permute_ints, nova/gadgets/sponge.py).

@@ -44,6 +44,18 @@ def _alloc_num(cs, name: str, value=None) -> AllocatedNum:
     return AllocatedNum(cs.alloc(name))
 
 
+def _native_ec():
+    """ec_fold_witness_native when the native build is available (the
+    Poseidon self-check in int_poseidon gates the same library)."""
+    from ...poseidon.int_poseidon import _native_permute
+
+    if _native_permute() is None:
+        return None
+    from ...native import ec_fold_witness_native
+
+    return ec_fold_witness_native
+
+
 @dataclasses.dataclass
 class PointParts:
     """A point as three Nums (x, y, inf) — the canonical hash encoding."""
@@ -237,7 +249,42 @@ class AllocatedRelaxedInstance:
         r_val = bits_value(r_bits) if _is_witness(cs) else None
         r_num = Num(bits_to_lc(r_bits), r_val)
 
+        # Native witness fast path: the C++ emitter produces every
+        # allocated value of scalar_mul + add + to_affine in gadget
+        # order (native/pasta.cpp::ec_fold_witness_native), so the
+        # value-only pass is a flat allocation loop (~25% of per-fold
+        # synthesis was these double-and-add chains in Python ints).
+        values_only = (
+            _is_witness(cs)
+            and not getattr(cs, "check", False)
+            and isinstance(self.u.value, int)
+        )
+        native_ec = _native_ec() if values_only else None
+
         def scaled_add(base: AllocatedPoint, pt: AllocatedPoint, nm: str) -> PointParts:
+            if native_ec is not None:
+                p_mod = cs.field.params.modulus
+
+                def proj(ap: AllocatedPoint) -> tuple[int, int, int]:
+                    # to_projective's linear embedding (x, y+inf, 1-inf)
+                    return (
+                        int(ap.x.value) % p_mod,
+                        (int(ap.y.value) + int(ap.inf.value)) % p_mod,
+                        (1 - int(ap.inf.value)) % p_mod,
+                    )
+
+                bits_msb = [b.value for b in reversed(r_bits)]
+                vals = native_ec(
+                    cs.field.params.name, proj(base), proj(pt), bits_msb
+                )
+                for v in vals:
+                    cs.alloc("ec", value=v)
+                inf_v, _, x_v, y_v = vals[-4:]
+                from ...r1cs.cs import NULL_LC
+
+                return PointParts(
+                    Num(NULL_LC, x_v), Num(NULL_LC, y_v), Num(NULL_LC, inf_v)
+                )
             term = pt.to_projective(cs).scalar_mul(cs, r_bits, f"{nm}_smul")
             total = base.to_projective(cs).add(cs, term, f"{nm}_acc")
             return PointParts.from_alloc(total.to_affine(cs, f"{nm}_aff"))
