@@ -448,9 +448,13 @@ class Side:
 
     @functools.cached_property
     def _cross_fn(self):
-        """(W1, w2, x1, u1, x2) -> (T, comm_T).  The commit runs through
-        the side's SINGLE shared Pippenger executable (_commit_fn), not
-        inlined here — see _commit_pad."""
+        """(W1, w2, x1, u1, x2) -> (T, comm_T affine ints).
+
+        On the single-chip TPU path the cross-term matvecs AND its
+        fixed-base Pallas commit run as ONE executable — each extra
+        dispatch + device_get costs ~10 ms of remote-tunnel RPC per
+        fold.  The mesh/TP path keeps the shared _commit_fn (sharded
+        XLA Pippenger)."""
         f = self.field
 
         def cross(tables, W1, w2, x1, u1, x2):
@@ -459,11 +463,36 @@ class Side:
             z2 = self.dev_shape.z_vector(f, w2, x2, one)
             return self._cross_term_t(tables, z1, u1, z2, one)
 
-        jitted = jax.jit(cross)
         tables = self._tables
 
+        if self._use_pallas_commit:
+            from ..curves.pallas_msm import _shifted_gens12, commit_pallas_traceable
+
+            pad = self._commit_pad
+            gens12 = _shifted_gens12(self.curve_name, pad)
+            f_base = get_curve(self.curve_name).field
+
+            def cross_commit(tables, gens12, W1, w2, x1, u1, x2):
+                t = cross(tables, W1, w2, x1, u1, x2)
+                t_pad = jnp.concatenate(
+                    [t, jnp.zeros((pad - t.shape[0], NLIMBS), t.dtype)], axis=0
+                )
+                pt = commit_pallas_traceable(
+                    get_curve(self.curve_name), gens12, t_pad, 4096
+                )
+                return t, f_base.from_mont(jnp.stack(list(pt)))
+
+            jitted_cc = jax.jit(cross_commit)
+
+            def run_fused(W1, w2, x1, u1, x2):
+                t, canon = jitted_cc(tables, gens12, W1, w2, x1, u1, x2)
+                return t, self._affine_of_canon(canon)
+
+            return run_fused
+
+        jitted = jax.jit(cross)
+
         def run(W1, w2, x1, u1, x2):
-            """-> (T, comm_T affine ints)."""
             t = jitted(tables, W1, w2, x1, u1, x2)
             _, canon = self._commit_fn(t)
             return t, self._affine_of_canon(canon)
