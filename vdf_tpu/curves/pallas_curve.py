@@ -34,7 +34,6 @@ from ..fields.pallas_field import (
     KMASK,
     NL12,
     KernelField,
-    _conv_full,
     _conv_sqr,
     _const_list,
     _resolve,
