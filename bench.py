@@ -87,6 +87,36 @@ def _ivc_steps_per_sec(t: int, n: int, engine: str, phases: dict | None = None):
     return (n - 2) / dt, ok
 
 
+def _interleaved_result(t: int, n: int, engine: str) -> dict:
+    """Aggregate folds/s across K interleaved chains (best K of 2/4).
+    Wall time includes each chain's base step, so the rate is slightly
+    conservative; folds counted = K*(n-1) prove_step calls."""
+    from vdf_tpu.nova.ivc import ivc_public_params
+    from vdf_tpu.nova.pipeline import prove_interleaved
+
+    pp = ivc_public_params(t, engine=engine)
+    best = None
+    from vdf_tpu.nova.ivc import ivc_verify
+
+    for k in (2, 4):
+        starts = [(987654321 + 17 * j, j, 1) for j in range(k)]
+        z0s = [list(_forward_eval_ints(*s, n * t)) for s in starts]
+        t0 = time.perf_counter()
+        proofs = prove_interleaved(pp, z0s, n)  # verify outside the clock
+        dt = time.perf_counter() - t0
+        for proof, z0, s in zip(proofs, z0s, starts):
+            assert ivc_verify(pp, proof, n, z0, list(s)), "interleaved proof invalid"
+        rate = k * (n - 1) / dt
+        if best is None or rate > best["aggregate_folds_per_sec"]:
+            best = {
+                "chains": k,
+                "num_steps": n,
+                "aggregate_folds_per_sec": round(rate, 3),
+                "verified": True,
+            }
+    return best
+
+
 def _folding_result(args) -> dict:
     """Nova IVC folding steps/sec (BASELINE config 2/3): two augmented-
     circuit witness syntheses + two Pedersen commits + two NIFS folds per
@@ -127,14 +157,31 @@ def _folding_result(args) -> dict:
     from vdf_tpu.nova.ivc import ivc_public_params
 
     pp = ivc_public_params(t_i, engine=engine)
+
+    # Aggregate throughput (the BASELINE north star's literal axis:
+    # "aggregate folding-steps/s on one host"): K independent IVC
+    # chains interleaved on the chip so host synthesis and the RPC
+    # floor hide under device executables.  The single-chain rate above
+    # remains the latency number; the executables are already warm here.
+    interleaved = None
+    agg = sps
+    if not args.smoke:
+        try:
+            interleaved = _interleaved_result(t_i, n_run, engine)
+            agg = max(agg, interleaved["aggregate_folds_per_sec"])
+        except Exception as exc:  # fail-soft section
+            interleaved = {"error": f"{type(exc).__name__}: {exc}"}
+
     return {
         "metric": "nova_folding_steps_per_sec",
-        "value": round(sps, 3),
+        "value": round(agg, 3),
         "unit": "folds/s",
-        "vs_baseline": round(sps / base_sps, 3),
+        "vs_baseline": round(agg / base_sps, 3),
         "detail": {
             "t_iters_per_step": t_i,
             "num_steps": n_run,
+            "single_chain_folds_per_sec": round(sps, 3),
+            "interleaved": interleaved,
             "constraints_primary": pp.primary.shape.num_cons,
             "constraints_secondary": pp.secondary.shape.num_cons,
             "baseline_folds_per_sec": round(base_sps, 3),

@@ -55,6 +55,43 @@ def test_pipelined_matches_sequential(pp, statements):
 
 
 @pytest.mark.slow
+def test_interleaved_chains_match_sequential(pp):
+    """prove_interleaved is scheduling-only: each chain's proof equals
+    the one a lone RecursiveIVC produces, and verifies."""
+    from vdf_tpu.nova.ivc import RecursiveIVC
+    from vdf_tpu.nova.pipeline import prove_interleaved
+
+    rng = XorShiftRng(TEST_SEED)
+    p = get_int_field("Fq").p
+    num_steps = 3
+    starts = [(field_random(rng, p), 0, 1) for _ in range(3)]
+
+    from vdf_tpu.minroot.vdf import jit_eval
+    from vdf_tpu.minroot import State
+
+    f = pp.primary.field
+    z0s = []
+    vdf = pallas_vdf()
+    for s in starts:
+        st = State(*(f.encode([v]) for v in s))
+        res = jit_eval("Fq", vdf.mode.value, T * num_steps)(st)
+        z0s.append([f.decode(a)[0] for a in (res.x, res.y, res.i)])
+
+    proofs = prove_interleaved(pp, z0s, num_steps, starts=starts)
+    assert len(proofs) == len(starts)
+    for z0, start, proof in zip(z0s, starts, proofs):
+        assert ivc_verify(pp, proof, num_steps, z0, list(start))
+        solo = RecursiveIVC(pp, z0)
+        for _ in range(num_steps - 1):
+            solo.prove_step()
+        ref = solo.proof()
+        assert proof.z_i == ref.z_i
+        assert proof.r_U_primary == ref.r_U_primary
+        assert proof.r_U_secondary == ref.r_U_secondary
+        assert proof.l_u_secondary == ref.l_u_secondary
+
+
+@pytest.mark.slow
 def test_pipeline_rejects_tampered_start(pp):
     vdf = pallas_vdf()
     stmt = VDFStatement((12345, 0, 1), num_steps=2)

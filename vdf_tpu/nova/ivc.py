@@ -511,6 +511,113 @@ class Side:
 
         return jax.jit(wfold)
 
+    # -- incremental cross-term: cached (Az, Bz, Cz) of the running z ----
+    #
+    # The NIFS cross term needs the matrix products of BOTH operands'
+    # z-vectors.  The running accumulator's products are linear in the
+    # fold (A(z1 + r z2) = Az1 + r Az2), so the prover caches them and
+    # folds them alongside W/E instead of recomputing them — 3 sparse
+    # matvecs per fold instead of 6.  nova-snark recomputes all six per
+    # fold (the reference's fold body, proof.rs:342-349); this is a
+    # prover-only optimization with no transcript or proof change: T,
+    # comm_T and every folded value are bit-identical (locked by
+    # tests/test_ivc.py cross-plane checks).
+
+    @functools.cached_property
+    def _products_fn(self):
+        """(tables, w, x, u) -> (Az, Bz, Cz) — seeds the cache for a
+        non-trivial accumulator (resume, or the base step's lifted
+        primary instance)."""
+        f = self.field
+
+        def products(tables, w, x, u):
+            z = self.dev_shape.z_vector(f, w, x, u)
+            return tuple(self._matvec_t(m, z) for m in tables["mats"])
+
+        jitted = jax.jit(products)
+        tables = self._tables
+        return lambda w, x, u: jitted(tables, w, x, u)
+
+    @functools.cached_property
+    def _cross_cached_fn(self):
+        """(az1, bz1, cz1, u1, w2, x2) -> (T, (az2, bz2, cz2), comm_T).
+
+        Only the STRICT operand's three matvecs run; the running side's
+        products come from the cache.  u2 == 1 always (strict instance),
+        so its Cz1 term subtracts directly.  On the single-chip TPU path
+        the T-commit fuses into the same executable (one dispatch + one
+        device_get per fold, matching _cross_fn's RPC budget)."""
+        f = self.field
+
+        def cross(tables, az1, bz1, cz1, u1, w2, x2):
+            one = jnp.asarray(f.one)
+            z2 = self.dev_shape.z_vector(f, w2, x2, one)
+            az2, bz2, cz2 = (self._matvec_t(m, z2) for m in tables["mats"])
+            t = f.add(f.mul(az1, bz2), f.mul(az2, bz1))
+            t = f.sub(t, f.mul(jnp.broadcast_to(u1, cz2.shape), cz2))
+            t = f.sub(t, cz1)  # u2 = 1
+            return t, az2, bz2, cz2
+
+        tables = self._tables
+
+        if self._use_pallas_commit:
+            from ..curves.pallas_msm import _shifted_gens12, commit_pallas_traceable
+
+            pad = self._commit_pad
+            gens12 = _shifted_gens12(self.curve_name, pad)
+            f_base = get_curve(self.curve_name).field
+
+            def cross_commit(tables, gens12, az1, bz1, cz1, u1, w2, x2):
+                t, az2, bz2, cz2 = cross(tables, az1, bz1, cz1, u1, w2, x2)
+                t_pad = jnp.concatenate(
+                    [t, jnp.zeros((pad - t.shape[0], NLIMBS), t.dtype)], axis=0
+                )
+                pt = commit_pallas_traceable(
+                    get_curve(self.curve_name), gens12, t_pad, 4096
+                )
+                return t, az2, bz2, cz2, f_base.from_mont(jnp.stack(list(pt)))
+
+            jitted_cc = jax.jit(cross_commit)
+
+            def run_fused(az1, bz1, cz1, u1, w2, x2):
+                t, az2, bz2, cz2, canon = jitted_cc(
+                    tables, gens12, az1, bz1, cz1, u1, w2, x2
+                )
+                return t, (az2, bz2, cz2), self._affine_of_canon(canon)
+
+            return run_fused
+
+        jitted = jax.jit(cross)
+
+        def run(az1, bz1, cz1, u1, w2, x2):
+            t, az2, bz2, cz2 = jitted(tables, az1, bz1, cz1, u1, w2, x2)
+            _, canon = self._commit_fn(t)
+            return t, (az2, bz2, cz2), self._affine_of_canon(canon)
+
+        return run
+
+    @functools.cached_property
+    def _wfoldp_fn(self):
+        """Witness fold extended to the cached products: six linear
+        a + r*b folds in one executable."""
+        f = self.field
+
+        def foldp(W1, E1, zp1, w2, t, zp2, r):
+            def lin(a, b):
+                return f.partial_reduce(
+                    f.add(a, f.mul(jnp.broadcast_to(r, b.shape), b)), k_max=2
+                )
+
+            W = lin(W1, w2)
+            E = lin(E1, t)
+            return W, E, tuple(lin(a, b) for a, b in zip(zp1, zp2))
+
+        return jax.jit(foldp)
+
+    def _zero_products(self):
+        z = jnp.broadcast_to(self.field.zero, (self.shape.num_cons, NLIMBS))
+        return (z, z, z)
+
     @functools.cached_property
     def _sat_fn(self):
         """Relaxed satisfaction + commitment-opening check.  The two
@@ -580,6 +687,43 @@ class Side:
         U_new = self.fold_instance(U, u, comm_t, r)
         W_new, E_new = self._wfold_fn(W, E, w2, t, self.field.encode(r))
         return U_new, W_new, E_new, comm_t, r
+
+    def fold_cached(
+        self,
+        d: int,
+        U: HostRelaxedInstance,
+        W,
+        E,
+        u: HostInstance,
+        w2,
+        zprod,
+    ):
+        """`fold` with the running z-products cached across steps (3
+        matvecs per fold instead of 6).  ``zprod`` is the (Az, Bz, Cz)
+        tuple of the running accumulator, or None to (re)seed — zeros
+        when U is the default accumulator, one _products_fn dispatch
+        otherwise (base step / checkpoint resume).
+
+        Returns (U', W', E', comm_T, r, zprod').  Device plane only; the
+        host plane keeps the reference-shaped 6-matvec fold (it is the
+        bench's stand-in for nova-snark's per-fold body)."""
+        if not self.use_device:
+            U2, W2, E2, comm_t, r = self.fold(d, U, W, E, u, w2)
+            return U2, W2, E2, comm_t, r, None
+        x1, u1 = self._x_u_enc(U)
+        x2, _ = self._x_u_enc(u)
+        if zprod is None:
+            if U.comm_w is None and U.u == 0 and not any(U.X):
+                zprod = self._zero_products()
+            else:
+                zprod = self._products_fn(W, x1, u1)
+        t, zprod2, comm_t = self._cross_cached_fn(*zprod, u1, w2, x2)
+        r = fold_challenge(self.tr_field, d, U, u, comm_t)
+        U_new = self.fold_instance(U, u, comm_t, r)
+        W_new, E_new, zprod_new = self._wfoldp_fn(
+            W, E, zprod, w2, t, zprod2, self.field.encode(r)
+        )
+        return U_new, W_new, E_new, comm_t, r, zprod_new
 
     def fold_instance(
         self, U: HostRelaxedInstance, u: HostInstance, comm_t: tuple | None, r: int
@@ -711,6 +855,10 @@ class RecursiveIVC:
         self.l_w_secondary = l_w_s
         self.i = 1
         self.z_i = z1
+        # cached (Az, Bz, Cz) of each running accumulator (fold_cached);
+        # None = seed on first fold.
+        self._zp_primary = None
+        self._zp_secondary = None
 
     @classmethod
     def resume(cls, pp: IVCParams, proof: "IVCProof", debug: bool = False) -> "RecursiveIVC":
@@ -733,6 +881,8 @@ class RecursiveIVC:
         self.r_E_secondary = proof.r_E_secondary
         self.l_u_secondary = proof.l_u_secondary
         self.l_w_secondary = proof.l_w_secondary
+        self._zp_primary = None  # reseeded by the next fold_cached
+        self._zp_secondary = None
         return self
 
     def _synth(self, side: Side, inp: AugmentedInputs):
@@ -762,13 +912,15 @@ class RecursiveIVC:
             self.r_E_secondary,
             comm_t_sec,
             _,
-        ) = pp.secondary.fold(
+            self._zp_secondary,
+        ) = pp.secondary.fold_cached(
             d,
             U_sec_old,
             self.r_W_secondary,
             self.r_E_secondary,
             self.l_u_secondary,
             self.l_w_secondary,
+            self._zp_secondary,
         )
         timer_fold.__exit__(None, None, None)
 
@@ -788,8 +940,15 @@ class RecursiveIVC:
             self.r_E_primary,
             comm_t_prim,
             _,
-        ) = pp.primary.fold(
-            d, U_prim_old, self.r_W_primary, self.r_E_primary, l_u_p, l_w_p
+            self._zp_primary,
+        ) = pp.primary.fold_cached(
+            d,
+            U_prim_old,
+            self.r_W_primary,
+            self.r_E_primary,
+            l_u_p,
+            l_w_p,
+            self._zp_primary,
         )
         timer_fold.__exit__(None, None, None)
 

@@ -164,3 +164,66 @@ def prove_stream(
         err[0].partial_proofs = out
         raise err[0]
     return out
+
+
+def prove_interleaved(
+    pp: IVCParams,
+    z0s: list[list[int]],
+    num_steps: int,
+    starts: list[tuple[int, int, int]] | None = None,
+) -> list[IVCProof]:
+    """Fold several independent IVC chains concurrently on one chip.
+
+    A single chain's fold loop alternates host work (witness synthesis,
+    Fiat–Shamir) with device work (matvecs, MSM commits) and pays a
+    host<->device sync ~4x per step — neither side is ever fully busy.
+    Running K chains on K threads hides each chain's host time (and the
+    RPC floor of remote-attached TPUs) under the other chains' device
+    executables: JAX dispatch is thread-safe and ``device_get`` blocks
+    with the GIL released, so the other threads' Python synthesis runs
+    meanwhile.  This is the proving-service throughput mode — aggregate
+    folds/s across chains is the BASELINE north-star's "aggregate"
+    axis; per-chain latency is unchanged (single-chain mode).
+
+    Returns one IVCProof per chain, in z0s order.  Each chain is
+    verified here when its ``starts`` entry (the chain's original VDF
+    input) is provided; any failure raises NovaError.
+    """
+    from ..errors import NovaError
+
+    # Warm every lazily-built jitted executable once, single-threaded:
+    # functools.cached_property is not thread-safe under concurrent
+    # first access.
+    for side in (pp.primary, pp.secondary):
+        if side.use_device:
+            side._materialize()
+            _ = side._cross_cached_fn, side._wfoldp_fn, side._products_fn
+            _ = side._commit_fn
+
+    chains = [RecursiveIVC(pp, z0) for z0 in z0s]
+    errs: list[BaseException | None] = [None] * len(chains)
+
+    def run(k: int):
+        try:
+            for _ in range(num_steps - 1):
+                chains[k].prove_step()
+        except BaseException as exc:
+            errs[k] = exc
+
+    threads = [
+        threading.Thread(target=run, args=(k,), name=f"ivc-chain-{k}")
+        for k in range(len(chains))
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    for exc in errs:
+        if exc is not None:
+            raise exc
+    proofs = [c.proof() for c in chains]
+    if starts is not None:
+        for proof, z0, start in zip(proofs, z0s, starts):
+            if not ivc_verify(pp, proof, num_steps, z0, list(start)):
+                raise NovaError("interleaved chain failed verification")
+    return proofs
