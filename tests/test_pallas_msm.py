@@ -142,3 +142,68 @@ def test_msm_pallas_matches_native_tpu():
     mod = curve.field.params.modulus
     zi = pow(z, -1, mod)
     assert ra == (x * zi * zi % mod, y * zi * zi % mod * zi % mod)
+
+
+def test_commit_pallas_batch_matches_single():
+    """K=2 batched fixed-base commit (the IVC fused-fold path,
+    nova/ivc.py::Side._fold_strict_fn) == two single commits."""
+    from vdf_tpu.curves.pallas_msm import (
+        _shifted_gens12,
+        commit_pallas_batch_traceable,
+    )
+
+    n = 8
+    f = curve.scalar
+    rng = np.random.default_rng(9)
+    q = f.params.modulus
+    a = [int.from_bytes(rng.bytes(32), "little") % q for _ in range(n)]
+    b = [int.from_bytes(rng.bytes(32), "little") % q for _ in range(n)]
+    gens12 = _shifted_gens12("pallas", n)
+    outs = jax.jit(
+        lambda g, s: [
+            jnp.stack(list(p))
+            for p in commit_pallas_batch_traceable(curve, g, s, 1024)
+        ]
+    )(gens12, jnp.stack([f.encode(a), f.encode(b)]))
+
+    def aff(stacked):
+        pt = Point(stacked[0], stacked[1], stacked[2])
+        return curve.to_affine_ints(Point(*(v[None] for v in pt)))[0]
+
+    for scal, got_st in zip((a, b), outs):
+        pt, _ = pm.commit_pallas("pallas", f.encode(scal))
+        assert aff(got_st) == aff(jnp.stack(list(pt)))
+
+
+def test_ivc_fused_fold_proves_and_verifies():
+    """One full IVC chain on the TPU device plane (deferred witness
+    commits + _fold_strict_fn batched commit) proves and verifies; the
+    running instances match the exact host-int engine bit-for-bit.
+    Uses the bench's t=32 shape so the executables share the warm
+    compile cache with bench.py runs."""
+    from vdf_tpu.nova.ivc import RecursiveIVC, ivc_public_params, ivc_verify
+    from vdf_tpu.fields.int_field import get_int_field
+
+    t, n = 32, 3
+    pp = ivc_public_params(t, engine="auto")
+    assert pp.primary.use_device and pp.primary._use_pallas_commit
+    p = get_int_field("Fq").p
+    e = pow(5, -1, p - 1)
+    x, y, i = 424242, 7, 1
+    for _ in range(n * t):
+        x, y, i = pow((x + y) % p, e, p), (x + i) % p, i + 1
+    z0 = [x, y, i]
+    ivc = RecursiveIVC(pp, z0)
+    for _ in range(n - 1):
+        ivc.prove_step()
+    proof = ivc.proof()
+    assert ivc_verify(pp, proof, n, z0, [424242, 7, 1])
+
+    pp_h = ivc_public_params(t, engine="native")
+    ivc_h = RecursiveIVC(pp_h, z0)
+    for _ in range(n - 1):
+        ivc_h.prove_step()
+    proof_h = ivc_h.proof()
+    assert proof.r_U_primary == proof_h.r_U_primary
+    assert proof.r_U_secondary == proof_h.r_U_secondary
+    assert proof.l_u_secondary == proof_h.l_u_secondary

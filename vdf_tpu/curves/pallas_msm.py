@@ -613,6 +613,41 @@ def commit_pallas_traceable(
     return _pt_from_12(curve, out[0, :, :, 0, 1])
 
 
+def commit_pallas_batch_traceable(
+    curve: Curve, gens12: jnp.ndarray, scalars_mont: jnp.ndarray, lanes: int
+) -> list[Point]:
+    """K fixed-base MSMs over the SAME pre-shifted generator table in one
+    bucket-accumulation launch: ``scalars_mont`` is (K, n, 17) and each
+    row's W*n items become their own "window" of the shared pipeline
+    (separate buckets, one point per row).  The IVC prover uses K=2 to
+    commit a strict witness and its NIFS cross term in a single
+    executable (nova/ivc.py::Side._fold_strict_fn) — the two dispatches
+    + device_gets this replaces each cost ~20 ms of remote-tunnel RPC
+    per fold (reference per-fold body: src/nova/proof.rs:342-349)."""
+    base_field = curve.params.base_field
+    k, n = scalars_mont.shape[0], scalars_mont.shape[1]
+    assert gens12.shape[0] == W * n
+    digits = _digits_of_scalars(
+        curve, scalars_mont.reshape(k * n, scalars_mont.shape[2])
+    ).reshape(k, n, NL12)
+    m = W * n
+    m_pad = -(-m // lanes) * lanes
+    sh = max((m_pad - 1).bit_length(), 1)
+    assert C + sh <= 32, "commit size too large for uint32 sort keys"
+    item_idx = jnp.arange(m, dtype=jnp.uint32)
+    keys = (
+        digits.transpose(0, 2, 1).reshape(k, m).astype(jnp.uint32) << sh
+    ) | item_idx[None, :]
+    if m_pad != m:  # pad items: digit 0, index 0 (land in the dump row)
+        keys = jnp.pad(keys, ((0, 0), (0, m_pad - m)))
+    keys = jnp.sort(keys, axis=-1)
+    order = (keys & ((1 << sh) - 1)).astype(jnp.int32)
+    d_s = (keys >> sh).astype(jnp.int32)
+    pts_s = gens12.reshape(-1, 3 * NL12)[order.reshape(-1)].reshape(-1, 3, NL12)
+    out = _bucket_accumulate(base_field, pts_s, d_s.reshape(-1), k, lanes)
+    return [_pt_from_12(curve, out[j, :, :, 0, 1]) for j in range(k)]
+
+
 @functools.lru_cache(maxsize=8)
 def _commit_pallas_jit(curve_name: str, lanes: int):
     from .point import get_curve

@@ -387,6 +387,27 @@ class Field:
         arr = np.frombuffer(buf, dtype="<u2").reshape(-1, NLIMBS)
         return jnp.asarray(arr.astype(np.uint32))
 
+    def encode_canonical(self, values) -> jnp.ndarray:
+        """Python ints -> CANONICAL limb array (no Montgomery factor).
+
+        The host-side to_mont big-int mulmod costs ~1 µs/element, which
+        at ~15k witness values/step is ~half the per-fold encode cost;
+        the device plane instead multiplies by R² in its fused fold
+        executable (to_mont_traceable), where it is one vectorized field
+        mul (~free).  Values must already be reduced mod p."""
+        if isinstance(values, (int, np.integer)):
+            return jnp.asarray(int_to_limbs(int(values)))
+        buf = b"".join(int(v).to_bytes(2 * NLIMBS, "little") for v in values)
+        arr = np.frombuffer(buf, dtype="<u2").reshape(-1, NLIMBS)
+        return jnp.asarray(arr.astype(np.uint32))
+
+    def to_mont_traceable(self, a_canon: jnp.ndarray) -> jnp.ndarray:
+        """Canonical limb array -> Montgomery domain, on device:
+        mul(a, R²) = a·R²·R⁻¹ = a·R."""
+        r2 = self.params.to_mont(self.params.to_mont(1))  # R² mod p
+        r2_limbs = jnp.asarray(int_to_limbs(r2))
+        return self.mul(a_canon, jnp.broadcast_to(r2_limbs, a_canon.shape))
+
     def decode(self, a: jnp.ndarray) -> list[int]:
         """Montgomery limb array -> canonical Python ints."""
         canon = np.asarray(jax.device_get(self.from_mont(a)))

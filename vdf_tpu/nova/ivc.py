@@ -433,8 +433,12 @@ class Side:
             w = [int(v) for v in w_ints]
             return w, self.host_plane.commit(w)
         w = self.encode_w(w_ints)
+        return w, self.commit_w(w)
+
+    def commit_w(self, w) -> tuple | None:
+        """Pedersen-commit an already-encoded device witness handle."""
         _, canon = self._commit_fn(w)
-        return w, self._affine_of_canon(canon)
+        return self._affine_of_canon(canon)
 
     def zero_w(self):
         if not self.use_device:
@@ -597,6 +601,69 @@ class Side:
         return run
 
     @functools.cached_property
+    def _fold_strict_fn(self):
+        """(az1, bz1, cz1, u1, w2_canon, x2) ->
+        (w2_mont, T, (az2,bz2,cz2), comm_W2, comm_T).
+
+        The WHOLE strict-side fold data plane as ONE executable: the
+        host→Montgomery domain lift of the fresh witness (the host-side
+        to_mont bigint loop costs ~10 ms/step; here it is one vectorized
+        field mul), the strict operand's three matvecs, the NIFS cross
+        term, and a batched 2-vector fixed-base Pallas commit of
+        [w2, T] against the shared pre-shifted generator table
+        (curves/pallas_msm.py::commit_pallas_batch_traceable).  Replaces
+        the separate witness-commit dispatch + cross-term dispatch of
+        r4 — each dispatch + device_get costs ~20 ms of remote-tunnel
+        RPC, and the two MSMs share one bucket-accumulation launch.
+        Per-fold body anchor: /root/reference/src/nova/proof.rs:342-349
+        (witness commit, cross term, fold)."""
+        f = self.field
+        from ..curves.pallas_msm import _shifted_gens12, commit_pallas_batch_traceable
+
+        pad = self._commit_pad
+        gens12 = _shifted_gens12(self.curve_name, pad)
+        f_base = get_curve(self.curve_name).field
+        tables = self._tables
+
+        def fold_strict(tables, gens12, az1, bz1, cz1, u1, w2c, x2):
+            w2 = f.to_mont_traceable(w2c)
+            one = jnp.asarray(f.one)
+            z2 = self.dev_shape.z_vector(f, w2, x2, one)
+            az2, bz2, cz2 = (self._matvec_t(m, z2) for m in tables["mats"])
+            t = f.add(f.mul(az1, bz2), f.mul(az2, bz1))
+            t = f.sub(t, f.mul(jnp.broadcast_to(u1, cz2.shape), cz2))
+            t = f.sub(t, cz1)  # u2 = 1
+
+            def padto(v):
+                return jnp.concatenate(
+                    [v, jnp.zeros((pad - v.shape[0], NLIMBS), v.dtype)], axis=0
+                )
+
+            batch = jnp.stack([padto(w2), padto(t)])
+            ptw, ptt = commit_pallas_batch_traceable(
+                get_curve(self.curve_name), gens12, batch, 4096
+            )
+            canon = f_base.from_mont(jnp.stack([*ptw, *ptt]))  # (6, 17)
+            return w2, t, az2, bz2, cz2, canon
+
+        jitted = jax.jit(fold_strict)
+
+        def run(az1, bz1, cz1, u1, w2c, x2):
+            w2, t, az2, bz2, cz2, canon = jitted(
+                tables, gens12, az1, bz1, cz1, u1, w2c, x2
+            )
+            canon = np.asarray(jax.device_get(canon))  # ONE sync for both points
+            comm_w = self._affine_of_canon(canon[0:3])
+            comm_t = self._affine_of_canon(canon[3:6])
+            return w2, t, (az2, bz2, cz2), comm_w, comm_t
+
+        return run
+
+    @functools.cached_property
+    def _to_mont_fn(self):
+        return jax.jit(self.field.to_mont_traceable)
+
+    @functools.cached_property
     def _wfoldp_fn(self):
         """Witness fold extended to the cached products: six linear
         a + r*b folds in one executable."""
@@ -697,12 +764,28 @@ class Side:
         u: HostInstance,
         w2,
         zprod,
+        check_cache: bool = False,
     ):
         """`fold` with the running z-products cached across steps (3
         matvecs per fold instead of 6).  ``zprod`` is the (Az, Bz, Cz)
         tuple of the running accumulator, or None to (re)seed — zeros
         when U is the default accumulator, one _products_fn dispatch
         otherwise (base step / checkpoint resume).
+
+        INVARIANT: a non-None ``zprod`` MUST be the matrix products of
+        exactly the (U, W) pair passed here — i.e. the ``zprod'`` this
+        method returned when it produced that accumulator.  A stale or
+        mismatched cache silently yields a wrong T and an unverifiable
+        proof; pass ``check_cache=True`` (the prover's debug mode) to
+        recompute the products and fail loudly instead.
+
+        When ``u.comm_w is None`` (deferred strict-witness commit, the
+        device prover's default) the commitment is computed here — on
+        the single-chip TPU path inside the SAME executable as the
+        cross term (``_fold_strict_fn``) — and written back to ``u``.
+        On that path ``w2`` arrives in the CANONICAL limb domain
+        (Field.encode_canonical; _synth defers the Montgomery lift to
+        the device) and the executable returns the lifted handle.
 
         Returns (U', W', E', comm_T, r, zprod').  Device plane only; the
         host plane keeps the reference-shaped 6-matvec fold (it is the
@@ -717,7 +800,22 @@ class Side:
                 zprod = self._zero_products()
             else:
                 zprod = self._products_fn(W, x1, u1)
-        t, zprod2, comm_t = self._cross_cached_fn(*zprod, u1, w2, x2)
+        elif check_cache:
+            ref = self._products_fn(W, x1, u1)
+            for a, b in zip(zprod, ref):
+                if not bool(jax.device_get(jnp.all(self.field.eq(a, b)))):
+                    raise NovaError(
+                        "fold_cached: stale z-product cache for (U, W)"
+                    )
+        if u.comm_w is None and self._use_pallas_commit:
+            w2, t, zprod2, comm_w, comm_t = self._fold_strict_fn(
+                *zprod, u1, w2, x2
+            )
+            u.comm_w = comm_w
+        else:
+            if u.comm_w is None:  # XLA device plane: separate commit
+                u.comm_w = self.commit_w(w2)
+            t, zprod2, comm_t = self._cross_cached_fn(*zprod, u1, w2, x2)
         r = fold_challenge(self.tr_field, d, U, u, comm_t)
         U_new = self.fold_instance(U, u, comm_t, r)
         W_new, E_new, zprod_new = self._wfoldp_fn(
@@ -839,7 +937,10 @@ class RecursiveIVC:
         inp = AugmentedInputs(
             d, 0, self.z0, self.z0, HostRelaxedInstance.default(), None, None
         )
-        l_u_p, l_w_p, z1 = self._synth(pp.primary, inp)
+        # The base primary instance becomes the running accumulator and
+        # is hashed into the secondary circuit's input, so its commit
+        # cannot be deferred to a later fold.
+        l_u_p, l_w_p, z1 = self._synth(pp.primary, inp, defer_commit=False)
         self.r_U_primary = HostRelaxedInstance.from_strict(l_u_p)
         self.r_W_primary = l_w_p
         self.r_E_primary = pp.primary.zero_e()
@@ -885,7 +986,14 @@ class RecursiveIVC:
         self._zp_secondary = None
         return self
 
-    def _synth(self, side: Side, inp: AugmentedInputs):
+    def _synth(self, side: Side, inp: AugmentedInputs, defer_commit: bool = True):
+        """Synthesize one augmented-circuit witness.  On the device
+        plane the Pedersen commit is DEFERRED (comm_w=None): the next
+        fold_cached computes it fused with the cross term in one
+        executable, and proof() finalizes any still-dangling instance.
+        The host plane (and ``defer_commit=False`` callers that need the
+        commitment immediately, e.g. the base step's primary instance)
+        commit here."""
         with self.timer.phase(f"synthesize/{side.field.params.name}"):
             cs, z_next = side.circuit.witness(inp, check=self.debug)
         if self.debug and cs.failed:
@@ -894,6 +1002,15 @@ class RecursiveIVC:
             raise SynthesisError(
                 f"witness/shape mismatch: {len(cs.aux)} vs {side.shape.num_aux}"
             )
+        if defer_commit and side.use_device:
+            # Pallas path: ship CANONICAL limbs; the fused fold lifts
+            # them to the Montgomery domain on device (one field mul)
+            # instead of ~15k host bigint mulmods.
+            if side._use_pallas_commit:
+                w_dev = side.field.encode_canonical(cs.aux)
+            else:
+                w_dev = side.encode_w(cs.aux)
+            return HostInstance(None, [int(v) for v in cs.inputs]), w_dev, z_next
         with self.timer.phase(f"commit/{side.curve_name}"):
             w_dev, comm = side.commit_ints(cs.aux)
         return HostInstance(comm, [int(v) for v in cs.inputs]), w_dev, z_next
@@ -921,6 +1038,7 @@ class RecursiveIVC:
             self.l_u_secondary,
             self.l_w_secondary,
             self._zp_secondary,
+            check_cache=self.debug,
         )
         timer_fold.__exit__(None, None, None)
 
@@ -949,6 +1067,7 @@ class RecursiveIVC:
             l_u_p,
             l_w_p,
             self._zp_primary,
+            check_cache=self.debug,
         )
         timer_fold.__exit__(None, None, None)
 
@@ -964,6 +1083,18 @@ class RecursiveIVC:
         self.z_i = z_next
 
     def proof(self) -> IVCProof:
+        # Finalize the dangling secondary instance: its witness commit
+        # is deferred by _synth (the NEXT fold would compute it fused);
+        # a proof handed to the verifier needs it now.  On the Pallas
+        # path the deferred handle is still in the canonical domain
+        # (comm_w is None ⟺ deferred ⟺ canonical there) — lift it first
+        # so the stored witness matches the accumulator domain.
+        if self.l_u_secondary.comm_w is None:
+            side = self.pp.secondary
+            with self.timer.phase(f"commit/{side.curve_name}"):
+                if side._use_pallas_commit:
+                    self.l_w_secondary = side._to_mont_fn(self.l_w_secondary)
+                self.l_u_secondary.comm_w = side.commit_w(self.l_w_secondary)
         return IVCProof(
             self.i,
             self.z0,

@@ -199,6 +199,8 @@ def prove_interleaved(
             side._materialize()
             _ = side._cross_cached_fn, side._wfoldp_fn, side._products_fn
             _ = side._commit_fn
+            if side._use_pallas_commit:
+                _ = side._fold_strict_fn
 
     chains = [RecursiveIVC(pp, z0) for z0 in z0s]
     errs: list[BaseException | None] = [None] * len(chains)

@@ -61,9 +61,9 @@ class AllocatedBit:
 
 def bits_to_lc(bits: list[AllocatedBit], n: int | None = None) -> LinearCombination:
     """Little-endian recombination sum(2^i * b_i) as a free LC."""
-    from .cs import LC_DISABLED, NULL_LC
+    from .cs import _LC_DISABLED, NULL_LC
 
-    if LC_DISABLED:
+    if _LC_DISABLED.get():
         return NULL_LC
     lc = LinearCombination()
     for i, b in enumerate(bits[: n if n is not None else len(bits)]):

@@ -17,6 +17,7 @@ host-synthesis / device-prove split:
 
 from __future__ import annotations
 
+import contextvars
 import dataclasses
 from typing import Callable, NamedTuple
 
@@ -67,7 +68,14 @@ class _NullLC:
 
 
 NULL_LC = _NullLC()
-LC_DISABLED = False
+
+# Per-context flag, NOT a process global: prove_interleaved runs K
+# witness syntheses on K threads, and a global would let one thread's
+# lc_sink __exit__ re-enable LC building mid-synthesis in the others
+# (losing the value-only fast path, and corrupting a concurrent
+# check=True pass).  contextvars gives each thread (and task) its own
+# value (advisor r4).
+_LC_DISABLED = contextvars.ContextVar("vdf_tpu_lc_disabled", default=False)
 
 
 class _LCSink:
@@ -75,14 +83,11 @@ class _LCSink:
         self.disabled = disabled
 
     def __enter__(self):
-        global LC_DISABLED
-        self.prev = LC_DISABLED
-        LC_DISABLED = self.disabled
+        self._token = _LC_DISABLED.set(self.disabled)
         return self
 
     def __exit__(self, *a):
-        global LC_DISABLED
-        LC_DISABLED = self.prev
+        _LC_DISABLED.reset(self._token)
 
 
 def lc_sink(disabled: bool = True) -> "_LCSink":
@@ -101,7 +106,7 @@ class LinearCombination:
 
     @classmethod
     def of(cls, var: Variable, coeff: int = 1):
-        if LC_DISABLED:
+        if _LC_DISABLED.get():
             return NULL_LC
         return cls({var: coeff})
 
