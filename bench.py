@@ -141,13 +141,17 @@ def _interleaved_result(t: int, n: int, engine: str, ks=(2, 4)) -> dict:
     return best
 
 
-def _folding_headline(args) -> dict:
+def _folding_headline(args, partial_emit=None) -> dict:
     """Nova IVC folding steps/sec (BASELINE config 2/3): two augmented-
     circuit witness syntheses + two fused strict-side folds (matvecs +
     batched Pedersen commits) per step on the two-curve engine.
     Headline value = single-chain folds/s; vs_baseline = single-chain
     rate of the host-plane engine on the same workload (reference
-    per-fold body: /root/reference/src/nova/proof.rs:342-349)."""
+    per-fold body: /root/reference/src/nova/proof.rs:342-349).
+
+    ``partial_emit``, when given, is called with the single-chain-only
+    result BEFORE the interleaved-aggregate stage runs, so a timeout
+    during interleaving cannot destroy the headline."""
     import jax
 
     t = args.iters or (2 if args.smoke else 32)
@@ -169,10 +173,19 @@ def _folding_headline(args) -> dict:
     # native baseline is single-chain (advisor r4).
     interleaved = None
     if not args.smoke and _remaining() > 60:
+        if partial_emit is not None:
+            partial = _fold_dict(t, n, sps, base_sps, None, pp, phases)
+            partial_emit(partial)
         try:
             interleaved = _interleaved_result(t, n, engine)
         except Exception as exc:  # fail-soft section
             interleaved = {"error": f"{type(exc).__name__}: {exc}"}
+
+    return _fold_dict(t, n, sps, base_sps, interleaved, pp, phases)
+
+
+def _fold_dict(t, n, sps, base_sps, interleaved, pp, phases) -> dict:
+    import jax
 
     detail = {
         "t_iters_per_step": t,
@@ -616,8 +629,13 @@ def bench_default(args):
         asm.minroot = out
         asm.emit()
 
-    # 2. Folding headline (the metric).
-    out = asm.section("folding", lambda: _folding_headline(args))
+    # 2. Folding headline (the metric).  The single-chain result is
+    # emitted BEFORE the interleaved stage via partial_emit.
+    def _partial(fold_partial):
+        asm.folding = fold_partial
+        asm.emit()
+
+    out = asm.section("folding", lambda: _folding_headline(args, _partial))
     if out is not None:
         if "error" not in out:
             asm.folding = out

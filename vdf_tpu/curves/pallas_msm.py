@@ -536,9 +536,13 @@ def msm_pallas_traceable(
 @functools.lru_cache(maxsize=8)
 def _msm_pallas_jit(curve_name: str, lanes: int):
     from .point import get_curve
+    from ..utils.aotcache import aot_jit
 
     curve = get_curve(curve_name)
-    return jax.jit(lambda pts, s: msm_pallas_traceable(curve, pts, s, lanes))
+    return aot_jit(
+        f"msm_pallas/{curve_name}/{lanes}",
+        lambda pts, s: msm_pallas_traceable(curve, pts, s, lanes),
+    )
 
 
 def msm_pallas(curve: Curve, points: Point, scalars_mont: jnp.ndarray) -> Point:
@@ -586,7 +590,9 @@ def _shifted_gens12(curve_name: str, n: int) -> jnp.ndarray:
         out = out.reshape(W, 3, NL12, n_pad)[:, :, :, :n]
         return out.transpose(0, 3, 1, 2).reshape(W * n, 3, NL12)
 
-    return jax.jit(build)(ck.gens)
+    from ..utils.aotcache import aot_jit
+
+    return aot_jit(f"gens12/{curve_name}/{n}", build)(ck.gens)
 
 
 def commit_pallas_traceable(
@@ -664,7 +670,9 @@ def _commit_pallas_jit(curve_name: str, lanes: int):
         canon = curve.field.from_mont(jnp.stack(list(pt)))
         return pt, canon
 
-    return jax.jit(run)
+    from ..utils.aotcache import aot_jit
+
+    return aot_jit(f"commit_pallas/{curve_name}/{lanes}", run)
 
 
 def commit_pallas(curve_name: str, scalars_mont: jnp.ndarray):

@@ -83,7 +83,15 @@ def _fused_end_to_end(
         ox, oy, oi = fn(kx, ky, ki)
         return tuple(_from_kernel(f, a, lanes) for a in (ox, oy, oi))
 
-    return jax.jit(run)
+    if interpret:
+        return jax.jit(run)
+    from ..utils.aotcache import aot_jit
+
+    return aot_jit(
+        f"minroot_fused/{field_name}/t{t}/b{block_sublanes}/"
+        f"{'inv' if inverse else 'fwd'}",
+        run,
+    )
 
 
 def eval_fused(vdf, s: State, t: int, block_sublanes: int = 8, interpret: bool = False) -> State:

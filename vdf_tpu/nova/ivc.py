@@ -41,6 +41,7 @@ from ..curves.int_ops import IDENTITY, IntCurve, get_int_curve
 from ..fields import Field, NLIMBS, get_field
 from ..poseidon.int_poseidon import IntTranscript
 from ..r1cs.cs import R1CSShape
+from ..utils.aotcache import aot_jit
 from ..utils.profiling import PhaseTimer
 from .augmented import (
     AugmentedCircuit,
@@ -486,7 +487,9 @@ class Side:
                 )
                 return t, f_base.from_mont(jnp.stack(list(pt)))
 
-            jitted_cc = jax.jit(cross_commit)
+            jitted_cc = aot_jit(
+                f"cross_commit_full/{self.field.params.name}", cross_commit
+            )
 
             def run_fused(W1, w2, x1, u1, x2):
                 t, canon = jitted_cc(tables, gens12, W1, w2, x1, u1, x2)
@@ -538,7 +541,10 @@ class Side:
             z = self.dev_shape.z_vector(f, w, x, u)
             return tuple(self._matvec_t(m, z) for m in tables["mats"])
 
-        jitted = jax.jit(products)
+        if self._use_tp:  # mesh executables: plain jit (aotcache is single-chip)
+            jitted = jax.jit(products)
+        else:
+            jitted = aot_jit(f"products/{self.field.params.name}", products)
         tables = self._tables
         return lambda w, x, u: jitted(tables, w, x, u)
 
@@ -581,7 +587,9 @@ class Side:
                 )
                 return t, az2, bz2, cz2, f_base.from_mont(jnp.stack(list(pt)))
 
-            jitted_cc = jax.jit(cross_commit)
+            jitted_cc = aot_jit(
+                f"cross_commit_cached/{self.field.params.name}", cross_commit
+            )
 
             def run_fused(az1, bz1, cz1, u1, w2, x2):
                 t, az2, bz2, cz2, canon = jitted_cc(
@@ -646,7 +654,10 @@ class Side:
             canon = f_base.from_mont(jnp.stack([*ptw, *ptt]))  # (6, 17)
             return w2, t, az2, bz2, cz2, canon
 
-        jitted = jax.jit(fold_strict)
+        # aot_jit: process-portable executable cache — the ~6 min
+        # compile of this graph otherwise recurs in every fresh process
+        # (utils/aotcache.py).
+        jitted = aot_jit(f"fold_strict/{self.field.params.name}", fold_strict)
 
         def run(az1, bz1, cz1, u1, w2c, x2):
             w2, t, az2, bz2, cz2, canon = jitted(
@@ -679,7 +690,9 @@ class Side:
             E = lin(E1, t)
             return W, E, tuple(lin(a, b) for a, b in zip(zp1, zp2))
 
-        return jax.jit(foldp)
+        if self._use_tp:
+            return jax.jit(foldp)
+        return aot_jit(f"wfoldp/{self.field.params.name}", foldp)
 
     def _zero_products(self):
         z = jnp.broadcast_to(self.field.zero, (self.shape.num_cons, NLIMBS))
@@ -700,7 +713,10 @@ class Side:
             rhs = f.add(f.mul(jnp.broadcast_to(u, cz.shape), cz), E)
             return jnp.all(f.eq(lhs, rhs))
 
-        jitted = jax.jit(sat)
+        if self._use_tp:
+            jitted = jax.jit(sat)
+        else:
+            jitted = aot_jit(f"sat/{self.field.params.name}", sat)
         tables = self._tables
 
         def _eq_pt(a_pt, b_pt):
